@@ -1,0 +1,6 @@
+from .registry import QUERIES, register, queries, oracle_sql  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every plan module so registration side effects run."""
+    from . import elt, marts, analytics, llmdata  # noqa: F401

@@ -1,0 +1,278 @@
+"""Reference-parity ELT queries (#1-5 in SURVEY.md §2) on the events table.
+
+The events table plays the role of raw.source_events (a stream of JSON-ish
+payloads); lineitem plays the messy spreadsheet export for the normalizer.
+Each query has a DuckDB oracle built from the same expression templates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import money_sql, ts_sql_duckdb, ts_sql_spark
+from ..operators.incremental import (
+    audit_diff,
+    changed_records,
+    mark_content_duplicates,
+    upsert_latest,
+    with_payload_hash,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _canon(dialect: str, value_expr: str = "value") -> str:
+    """Canonical sorted-key JSON for an event payload (utils.py:14-19 analog).
+
+    Keys sorted: event_type, k, ts, user_id, value. ts as epoch micros and
+    value as decimal(10,2) so the string is bit-identical across engines.
+    """
+    if dialect == "spark":
+        k = "get_json_object(props, '$.k')"
+        micros = "unix_micros(ts)"
+    else:
+        k = "json_extract_string(props, '$.k')"
+        micros = "epoch_us(ts)"
+    val = f"cast(cast({value_expr} AS decimal(10,2)) AS string)"
+    return (
+        f"concat('{{\"event_type\":\"', event_type, '\",\"k\":', {k}, "
+        f"',\"ts\":', {micros}, ',\"user_id\":', user_id, "
+        f"',\"value\":', {val}, '}}')"
+    )
+
+
+def _canon_no_ts(dialect: str) -> str:
+    """Canonical payload without ts — used where duplicate content should
+    collide (the loader hashes sheet-row content, which has no timestamp)."""
+    if dialect == "spark":
+        k = "get_json_object(props, '$.k')"
+    else:
+        k = "json_extract_string(props, '$.k')"
+    return (
+        f"concat('{{\"event_type\":\"', event_type, '\",\"k\":', {k}, "
+        f"',\"user_id\":', user_id, "
+        f"',\"value\":', cast(cast(value AS decimal(10,2)) AS string), '}}')"
+    )
+
+
+# --- 1. raw ingestion: canonical hash + explicit-PK-or-fallback id + dup flag
+
+
+_RAW_INGEST_ORACLE = f"""
+WITH hashed AS (
+    SELECT event_id, md5({_canon_no_ts('duckdb')}) AS payload_hash
+    FROM events
+)
+SELECT
+    event_id,
+    CASE WHEN event_id % 7 = 0
+         THEN concat('gsheet_auto_', substr(payload_hash, 1, 12), '_', event_id)
+         ELSE cast(event_id AS string) END AS raw_id,
+    payload_hash,
+    (row_number() OVER (PARTITION BY payload_hash ORDER BY event_id)) > 1 AS is_dup
+FROM hashed
+"""
+
+
+@register("raw_ingest_hash", oracle=_RAW_INGEST_ORACLE)
+def raw_ingest_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader semantics of main.py:174-213: content hash, explicit-PK
+    detection with deterministic fallback id, duplicate marking."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = with_payload_hash(ev, F.expr(_canon_no_ts("spark")))
+    flagged = mark_content_duplicates(hashed, order_col="event_id")
+    return flagged.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit("gsheet_auto_"),
+                F.substring("payload_hash", 1, 12),
+                F.lit("_"),
+                F.col("event_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("raw_id"),
+        "payload_hash",
+        "is_dup",
+    )
+
+
+# --- 2. incremental change detection: anti-join raw ↔ staging on hash
+
+
+_CHANGED_ORACLE = f"""
+WITH raw AS (
+    SELECT event_id, ts AS received_at, md5({_canon('duckdb')}) AS payload_hash
+    FROM events
+),
+staging AS (
+    SELECT payload_hash FROM raw WHERE event_id % 10 < 8
+)
+SELECT r.event_id, r.received_at, r.payload_hash
+FROM raw r ANTI JOIN staging s USING (payload_hash)
+"""
+
+
+@register("changed_records", oracle=_CHANGED_ORACLE)
+def changed_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src/transform.py:200-234 as a LEFT ANTI hash join. The staging side
+    is a snapshot (80% of events already processed); raw is everything."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = with_payload_hash(ev, F.expr(_canon("spark"))).select(
+        "event_id", F.col("ts").alias("received_at"), "payload_hash"
+    )
+    staging = raw.filter(F.col("event_id") % 10 < 8)
+    return changed_records(raw, staging)
+
+
+# --- 3. normalization: messy money/date strings parsed Spark-natively
+
+
+def _messy_money(dialect: str) -> str:
+    m = "cast(cast(l_extendedprice AS decimal(12,2)) AS string)"
+    return f"""CASE cast(l_orderkey % 4 AS int)
+        WHEN 0 THEN concat('$', {m})
+        WHEN 1 THEN concat('(', {m}, ')')
+        WHEN 2 THEN replace({m}, '.', ',')
+        ELSE concat(chr(160), {m}, ' ') END"""
+
+
+def _messy_date(dialect: str) -> str:
+    if dialect == "spark":
+        fmts = ["dd.MM.yyyy", "yyyy-MM-dd", "MM/dd/yyyy"]
+        fmt_fn = "date_format"
+    else:
+        fmts = ["%d.%m.%Y", "%Y-%m-%d", "%m/%d/%Y"]
+        fmt_fn = "strftime"
+    return f"""CASE cast(l_linenumber % 3 AS int)
+        WHEN 0 THEN {fmt_fn}(l_shipdate, '{fmts[0]}')
+        WHEN 1 THEN {fmt_fn}(l_shipdate, '{fmts[1]}')
+        ELSE {fmt_fn}(l_shipdate, '{fmts[2]}') END"""
+
+
+def _normalize_oracle() -> str:
+    return f"""
+WITH messy AS (
+    SELECT l_returnflag,
+           {_messy_money('duckdb')} AS money_str,
+           {_messy_date('duckdb')} AS date_str
+    FROM lineitem
+),
+parsed AS (
+    SELECT l_returnflag,
+           {money_sql('money_str')} AS money_val,
+           {ts_sql_duckdb('date_str')} AS date_val
+    FROM messy
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       cast(sum(money_val) AS double) AS sum_parsed,
+       cast(sum(abs(money_val)) AS double) AS sum_abs_parsed,
+       count(date_val) AS n_dates,
+       count(DISTINCT month(date_val)) AS n_months
+FROM parsed
+GROUP BY l_returnflag
+"""
+
+
+@register("normalize_records", oracle=_normalize_oracle())
+def normalize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src/transform.py:18-117 normalization, as whole-stage-codegen column
+    exprs (money cleaning incl. (x)-negatives, currency symbols, NBSP,
+    separator disambiguation; multi-format date parsing)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    messy = li.select(
+        "l_returnflag",
+        F.expr(_messy_money("spark")).alias("money_str"),
+        F.expr(_messy_date("spark")).alias("date_str"),
+    )
+    parsed = messy.select(
+        "l_returnflag",
+        F.expr(money_sql("money_str")).alias("money_val"),
+        F.expr(ts_sql_spark("date_str")).alias("date_val"),
+    )
+    return parsed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("money_val").cast("double").alias("sum_parsed"),
+        F.sum(F.abs(F.col("money_val"))).cast("double").alias("sum_abs_parsed"),
+        F.count("date_val").alias("n_dates"),
+        F.countDistinct(F.month("date_val")).alias("n_months"),
+    )
+
+
+# --- 4. keyed last-write-wins upsert (SCD-1)
+
+
+_UPSERT_ORACLE = """
+WITH base AS (
+    SELECT event_id, value, 1 AS version FROM events
+),
+updates AS (
+    SELECT event_id, value * 2 AS value, 2 AS version
+    FROM events WHERE event_id % 3 = 0
+),
+unioned AS (
+    SELECT * FROM base UNION ALL SELECT * FROM updates
+)
+SELECT event_id, value, version
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+    FROM unioned
+) WHERE rn = 1
+"""
+
+
+@register("staging_upsert", oracle=_UPSERT_ORACLE)
+def staging_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON CONFLICT (raw_id) DO UPDATE (src/transform.py:292-299) as a
+    version-window dedup — the shuffle core of a distributed MERGE."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "value", F.lit(1).alias("version"))
+    updates = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .select("event_id", (F.col("value") * 2).alias("value"), F.lit(2).alias("version"))
+    )
+    return upsert_latest(base.unionByName(updates), ["event_id"], ["version"])
+
+
+# --- 5. audit diff on payload-hash change
+
+
+def _audit_oracle() -> str:
+    canon_old = _canon("duckdb")
+    canon_new = _canon("duckdb", value_expr="(CASE WHEN event_id % 5 = 0 THEN value + 10 ELSE value END)")
+    return f"""
+WITH old AS (
+    SELECT event_id, {canon_old} AS payload, md5({canon_old}) AS payload_hash
+    FROM events
+),
+new AS (
+    SELECT event_id, {canon_new} AS payload, md5({canon_new}) AS payload_hash
+    FROM events
+)
+SELECT o.event_id AS record_id, o.payload AS old_value, n.payload AS new_value,
+       'system' AS changed_by
+FROM old o JOIN new n USING (event_id)
+WHERE o.payload_hash <> n.payload_hash
+"""
+
+
+@register("audit_changes", oracle=_audit_oracle())
+def audit_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit trigger semantics (alembic 7a8b9c0d1e2f): emit old/new payload
+    pairs for records whose content hash changed between snapshots."""
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.withColumn("payload", F.expr(_canon("spark"))).withColumn(
+        "payload_hash", F.md5(F.col("payload"))
+    )
+    new_ev = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 10).otherwise(F.col("value")),
+    )
+    new = new_ev.withColumn("payload", F.expr(_canon("spark"))).withColumn(
+        "payload_hash", F.md5(F.col("payload"))
+    )
+    return audit_diff(old, new, key="event_id")

@@ -1,0 +1,40 @@
+"""Query catalog: name → (Spark callable, DuckDB oracle SQL).
+
+Every operator the engine claims (SURVEY.md §2) registers here; the driver
+contract (__spark_entry__.py) is a thin view over this registry. Oracle SQL
+is DuckDB dialect over the pre-registered parquet views.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Entry:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+
+
+QUERIES: dict[str, Entry] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = Entry(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in QUERIES.items() if e.oracle is not None}

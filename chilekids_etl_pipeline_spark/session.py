@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for both local testing and cluster scale."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Local mode is driven by ``SPARK_GRAFT_CPUS`` (default: all cores). The
+    config choices are the ones that matter at cluster scale too:
+
+    - AQE on: runtime partition coalescing + skew-join splitting means the
+      static shuffle-partition count only needs to be an upper bound.
+    - Arrow on: any pandas-UDF path transfers columnar batches, not rows.
+    - ``shuffle.partitions`` sized to cores locally; on a real cluster this
+      would be ~2-3x total executor cores (AQE coalesces the excess).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus if cpus != "*" else "32")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS); read as long, converted
+        # back to timestamp in sources.tables (Spark has no nanos type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if not os.environ.get("MASTER") and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

@@ -1,0 +1,44 @@
+"""Parquet table catalog for the test star schema.
+
+At 100 TB these reads stay efficient because every query selects columns
+explicitly (parquet column pruning) and filters early (predicate pushdown
+into the scan) — verified via ``explain`` in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet read as long (see session.py); truncate
+        # to micros — same truncation DuckDB applies when it loads nanos.
+        ts_field = df.schema["ts"]
+        if isinstance(ts_field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can use spark.sql."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate.
+
+For every entry in queries(): run the Spark query and the DuckDB oracle at
+the given sf dir, compare row count, sorted column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, floats
+rounded to 6 significant-ish decimals before hashing).
+
+Usage: python tools/check.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def canon_df(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == "float64" or df[c].dtype == "float32":
+            df[c] = df[c].round(6)
+        elif df[c].dtype == "object":
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    canon = canon_df(df)
+    payload = canon.to_csv(index=False).encode()
+    return hashlib.md5(payload).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from chilekids_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    import glob
+    import os
+
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p).removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)}≠{len(odf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            problems.append(f"cols {sorted(sdf.columns)}≠{sorted(odf.columns)}")
+        if not problems:
+            h1, h2 = value_hash(sdf), value_hash(odf)
+            if h1 != h2:
+                problems.append("value-hash mismatch")
+                c1, c2 = canon_df(sdf), canon_df(odf)
+                neq = (c1 != c2) & ~(c1.isna() & c2.isna())
+                bad = neq.any(axis=None)
+                if bad:
+                    idx = neq.any(axis=1)
+                    print(c1[idx].head(5))
+                    print(c2[idx].head(5))
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK   {name} ({len(sdf)} rows)")
+    print(f"== {n_fail} failures ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
