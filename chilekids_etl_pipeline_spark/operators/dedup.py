@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale document corpora.
+
+Exact (hash-groupBy), n-gram Jaccard (shingle-join), MinHash+LSH
+(signature → band buckets → candidate pairs → verify), SimHash.
+
+Everything is built-in column expressions + joins — no Python UDFs, no
+cross joins. Scale design:
+- exact dedup is a single hash-partitioned window (map-side partial agg);
+- Jaccard never enumerates O(n²) pairs: only docs sharing a shingle meet,
+  via an equi-join on the shingle string;
+- MinHash/LSH bounds candidate generation to band-bucket collisions,
+  the standard 100 TB-corpus recipe (signatures are ~100 bytes/doc);
+- SimHash is one explode + two aggregations, all shuffles on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import HEX, words_sql
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc content hash, canonical (minimum) id per hash group, dup flag."""
+    hashed = docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("canonical_doc_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_doc_id"))
+        .select(id_col, "text_hash", "canonical_doc_id", "is_dup")
+    )
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows, distinct within doc.
+
+    posexplode + lead-windows instead of an array-lambda gram builder: the
+    lambda form re-evaluates split() per gram element (lambda bodies escape
+    whole-stage-codegen subexpression elimination — measured 5x slower);
+    this form tokenizes once and is linear in words.
+    """
+    wpos = docs.select(
+        F.col(id_col), F.posexplode(F.expr(words_sql("spark", text_col))).alias("pos", "w")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    sh = wpos.select(
+        F.col(id_col),
+        F.concat_ws(" ", *cols).alias("shingle"),
+        F.lead("w", n - 1).over(win).alias("_last"),
+    )
+    return sh.filter(F.col("_last").isNotNull()).select(id_col, "shingle").distinct()
+
+
+def jaccard_pairs(sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> DataFrame:
+    """All-pairs Jaccard ≥ threshold via shingle equi-join (no cross join)."""
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_bands(
+    sh: DataFrame, num_hashes: int = 12, band_size: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, band, band_sig): lexicographic-min md5 per seeded permutation,
+    grouped into bands of ``band_size`` and re-hashed to a band signature."""
+    seeded = sh.select(
+        id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    )
+    mh = seeded.groupBy(id_col, "seed").agg(
+        F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("mh")
+    )
+    return (
+        mh.withColumn("band", F.expr(f"seed DIV {band_size}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]
+                    ),
+                    "|",
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in at least one band."""
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(cand: DataFrame, sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for candidate pairs only (the LSH 'verify' stage)."""
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over the token multiset, output as 16-char hex.
+
+    bit_i(md5(token)) contributes +count / -count to position i; the sign
+    of each positional sum is the signature bit. Assembled nibble-by-nibble
+    so the arithmetic stays in 32-bit ints (portable to the DuckDB oracle).
+    """
+    toks = docs.select(
+        id_col, F.explode(F.expr(words_sql("spark", text_col))).alias("tok")
+    ).groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    toks = toks.withColumn("th", F.md5(F.col("tok")))
+    pos = toks.select(
+        id_col,
+        "cnt",
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos"),
+    )
+    nib_val = f"(position(substr(th, 1 + pos DIV 4, 1), '{HEX}') - 1)"
+    mask = "(CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)"
+    contrib = pos.withColumn(
+        "c", F.expr(f"cnt * (2 * (({nib_val} DIV {mask}) % 2) - 1)")
+    )
+    bits = contrib.groupBy(id_col, "pos").agg(
+        F.when(F.sum("c") > 0, 1).otherwise(0).alias("bit")
+    )
+    nibbles = bits.groupBy(id_col, F.expr("pos DIV 4").alias("nib")).agg(
+        F.sum(
+            F.expr("bit * (CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)")
+        ).alias("nv")
+    )
+    return nibbles.groupBy(id_col).agg(
+        F.expr(
+            f"array_join(transform(array_sort(collect_list(struct(nib, nv))), "
+            f"x -> substr('{HEX}', cast(x.nv AS int) + 1, 1)), '')"
+        ).alias("simhash")
+    )
+
+
+def hamming_near_pairs(sigs: DataFrame, max_hamming: int, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on hex quarters.
+
+    Pigeonhole: distance ≤ 3 over 4 blocks of 16 bits → at least one block
+    identical, so candidates come from equi-joins on a block, not O(n²).
+    """
+    blocked = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("blk"), F.substring("simhash", 1 + 4 * i, 4).alias("key")) for i in range(4)])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.key")
+    a = blocked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "key")
+    b = blocked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "key")
+    nib_dist = " + ".join(
+        f"bit_count((position(substr(sig_a, {i + 1}, 1), '{HEX}') - 1) ^ "
+        f"(position(substr(sig_b, {i + 1}, 1), '{HEX}') - 1))"
+        for i in range(16)
+    )
+    return (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.expr(nib_dist))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

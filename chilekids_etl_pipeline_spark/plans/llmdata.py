@@ -1,4 +1,619 @@
-"""LLM-training-data operators (#19-30 in SURVEY.md §2) — filled in
-incrementally: dedup, similarity search, text analysis, multimodal."""
+"""LLM-training-data operators (#19-30 in SURVEY.md §2).
+
+These are the operations a 100 TB training-data pipeline runs on a document
+corpus: dedup (exact / Jaccard / MinHash-LSH / SimHash / embedding),
+similarity search (brute-force + LSH ANN), text analysis (lang-id, quality,
+tokens, fingerprints), and multimodal column plumbing.
+
+The corpus has no natural duplicates, so the dedup queries *plant*
+deterministic copies inside the query (same construction in the DuckDB
+oracle): exact copies for hash dedup, tail-truncated copies for
+Jaccard/MinHash, single-dimension-perturbed vectors for embedding dedup.
+That makes each operator's positive path observable and oracle-checkable.
+
+Scale notes: no cross joins except query-side-broadcast ANN scoring; all
+pair generation goes through equi-joins (shingle, band signature, LSH
+bucket); every ratio/score is integer-or-exact-decimal math divided once
+at the end, so Spark and DuckDB agree bit-for-bit.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    HEX,
+    bpe_token_count_sql,
+    shingles_sql,
+    stop_hits_sql,
+    subword_count_sql,
+    word_len_sum_sql,
+    words_sql,
+)
+from ..operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_bands,
+    shingle_rows,
+    simhash,
+    verify_jaccard,
+)
+from ..operators.similarity import VEC_AS_DOUBLE, ann_lsh_topk, topk_cosine, with_norm
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# shared builders
+
+
+_W_SPARK = words_sql("spark")
+_W_DUCK = words_sql("duckdb")
+
+# tail-truncated near-dup copies of every 10th doc (id + 100000)
+_TRUNC_SPARK = (
+    f"array_join(slice({_W_SPARK}, 1, greatest(size({_W_SPARK}) - 5, 1)), ' ')"
+)
+_DOCS_AUG_DUCK = f"""
+w0 AS (SELECT doc_id, {_W_DUCK} AS w FROM documents),
+docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(w[1:greatest(len(w) - 5, 1)], ' ') AS text
+    FROM w0 WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _docs_aug_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr(_TRUNC_SPARK).alias("text"),
+        )
+    )
+    return docs.unionByName(planted)
+
+
+# embeddings as double vectors + perturbed copies of every 25th (id + 100000)
+_VECS_DUCK = """
+base AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         FROM embeddings),
+planted AS (SELECT vec_id + 100000 AS vec_id,
+                   list_concat([v[1] + 0.05], v[2:len(v)]) AS v
+            FROM base WHERE vec_id % 25 = 0)
+"""
+_PERTURB_SPARK = "concat(array(element_at(vec, 1) + cast(0.05 AS double)), slice(vec, 2, size(vec) - 1))"
+
+
+def _vecs_spark(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(VEC_AS_DOUBLE).alias("vec")
+    )
+    planted = (
+        base.filter(F.col("vec_id") % 25 == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), F.expr(_PERTURB_SPARK).alias("vec"))
+    )
+    return base, planted
+
+
+# ---------------------------------------------------------------------------
+# 19. exact dedup
+
+
+_EXACT_ORACLE = """
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+h AS (SELECT doc_id, md5(text) AS text_hash FROM docs)
+SELECT doc_id, text_hash,
+       min(doc_id) OVER (PARTITION BY text_hash) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_dup
+FROM h
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash, canonical id per group, dup flag.
+    One hash-partitioned window; the reference's seen-hash loop
+    (main.py:194-204) distributed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(docs.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# 20. n-gram Jaccard dedup
+
+
+_SH_DUCK = shingles_sql("duckdb", "w")
+_JACCARD_ORACLE = f"""
+WITH {_DOCS_AUG_DUCK},
+wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
+sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, round(c / (ca.n + cb.n - c), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE round(c / (ca.n + cb.n - c), 6) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-3-gram Jaccard ≥ 0.5 via shingle equi-join — pairs
+    only materialize for docs sharing a shingle, never O(n²)."""
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
+    return jaccard_pairs(sh, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# 21. MinHash + LSH dedup
+
+
+_MINHASH_ORACLE = f"""
+WITH {_DOCS_AUG_DUCK},
+wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
+sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+mh AS (
+    SELECT doc_id, seed, min(md5(concat(seed, '|', shingle))) AS mh
+    FROM sh CROSS JOIN range(0, 12) t(seed)
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 3 AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+    FROM mh GROUP BY doc_id, seed // 3
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS c
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, round(c / (ca.n + cb.n - c), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE round(c / (ca.n + cb.n - c), 6) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (12 perms as lexicographic-min md5) → 4 bands × 3 → bucket
+    join for candidates → exact-Jaccard verify ≥ 0.5. The LSH band join is
+    what makes near-dup detection feasible on a 100 TB corpus: signatures
+    are ~100 bytes/doc and only bucket collisions are verified."""
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
+    bands = minhash_bands(sh, num_hashes=12, band_size=3)
+    cand = lsh_candidate_pairs(bands)
+    return verify_jaccard(cand, sh, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# 22. SimHash signatures
+
+
+def _simhash_oracle() -> str:
+    nib = f"(strpos('{HEX}', substr(h, 1 + pos // 4, 1)) - 1)"
+    mask = "(CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, tok, count(*) AS cnt
+    FROM (SELECT doc_id, unnest({_W_DUCK}) AS tok FROM documents)
+    GROUP BY doc_id, tok
+),
+th AS (SELECT doc_id, cnt, md5(tok) AS h FROM toks),
+contrib AS (
+    SELECT doc_id, pos,
+           cnt * (2 * (({nib} // {mask}) % 2) - 1) AS c
+    FROM th CROSS JOIN range(0, 64) t(pos)
+),
+bits AS (
+    SELECT doc_id, pos, CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS bit
+    FROM contrib GROUP BY doc_id, pos
+),
+nib AS (
+    SELECT doc_id, pos // 4 AS nib,
+           sum(bit * {mask.replace('pos % 4', 'pos % 4')}) AS nv
+    FROM bits GROUP BY doc_id, pos // 4
+)
+SELECT doc_id,
+       string_agg(substr('{HEX}', cast(nv AS int) + 1, 1), '' ORDER BY nib)
+           AS simhash
+FROM nib GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from the token multiset (term-frequency
+    weighted), emitted as 16-hex signature. Near-dup pairing by hamming
+    distance is `operators.dedup.hamming_near_pairs` (blocked pigeonhole
+    join), unit-tested separately."""
+    return simhash(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# 23. embedding-cosine near-dup
+
+
+_EMB_DEDUP_ORACLE = f"""
+WITH {_VECS_DUCK},
+norms AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+)
+SELECT q.vec_id AS new_id, c.vec_id AS dup_of,
+       round(list_reduce(list_transform(list_zip(q.v, c.v),
+                                        p -> p[1] * p[2]),
+                         (a, b) -> a + b) / (q.nrm * c.nrm), 6) AS cosine
+FROM norms q CROSS JOIN norms c
+WHERE q.vec_id >= 100000 AND c.vec_id < 100000
+  AND round(list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
+                        (a, b) -> a + b) / (q.nrm * c.nrm), 6) >= 0.98
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection of a new batch (perturbed copies) against the
+    corpus: cosine ≥ 0.98. Incremental-batch shape: the small new side
+    broadcasts, the corpus partition-scans once (cf. the reference's
+    incremental anti-join philosophy, src/transform.py:200)."""
+    base, planted = _vecs_spark(spark, sf_dir)
+    q = with_norm(planted, "vec", "qnorm").select(
+        F.col("vec_id").alias("new_id"), F.col("vec").alias("qvec"), "qnorm"
+    )
+    c = with_norm(base, "vec", "cnorm").select(
+        F.col("vec_id").alias("dup_of"), F.col("vec").alias("cvec"), "cnorm"
+    )
+    dot = "aggregate(zip_with(qvec, cvec, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(F.expr(dot) / (F.col("qnorm") * F.col("cnorm")), 6))
+        .filter(F.col("cosine") >= 0.98)
+        .select("new_id", "dup_of", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 24. brute-force top-k cosine
+
+
+_KNN_ORACLE = """
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+              FROM embeddings),
+norms AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+    FROM base
+),
+q AS (SELECT * FROM norms WHERE vec_id % 50 = 0),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
+                             (a, b) -> a + b) / (q.nrm * c.nrm), 6) AS cosine
+    FROM q CROSS JOIN norms c
+    WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 5
+"""
+
+
+@register("knn_topk_cosine", oracle=_KNN_ORACLE)
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for every 50th vector — the ANN
+    baseline. Query side broadcasts; corpus scans once."""
+    base, _ = _vecs_spark(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") % 50 == 0)
+    return topk_cosine(queries, base, k=5)
+
+
+# ---------------------------------------------------------------------------
+# 25. LSH-bucketed ANN
+
+
+def _ann_oracle() -> str:
+    w = (
+        f"(CASE WHEN (strpos('{HEX}', substr(md5(concat(p, '_', d)), 1, 1)) - 1) % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
+    return f"""
+WITH {_VECS_DUCK},
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+sig AS (
+    SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig
+    FROM (
+        SELECT vec_id, p,
+               CASE WHEN sum(v[d + 1] * {w}) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM allv CROSS JOIN range(0, 12) pl(p) CROSS JOIN range(0, 64) dd(d)
+        GROUP BY vec_id, p
+    ) GROUP BY vec_id
+),
+norms AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+    FROM allv
+),
+q AS (SELECT n.vec_id, n.v, n.nrm, s.sig FROM norms n JOIN sig s USING (vec_id)
+      WHERE n.vec_id >= 100000),
+c AS (SELECT n.vec_id, n.v, n.nrm, s.sig FROM norms n JOIN sig s USING (vec_id)
+      WHERE n.vec_id < 100000),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
+                             (a, b) -> a + b) / (q.nrm * c.nrm), 6) AS cosine
+    FROM q JOIN c ON q.sig = c.sig
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
+@register("ann_lsh_cosine", oracle=_ann_oracle())
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: 12 deterministic Rademacher hyperplanes → 12-bit
+    bucket; candidates only meet inside a bucket (recall < 1 by design —
+    the 100 TB path where brute force is impossible). Queries are the
+    perturbed new batch; expected hits are their source vectors."""
+    base, planted = _vecs_spark(spark, sf_dir)
+    return ann_lsh_topk(planted, base, k=3, num_planes=12)
+
+
+# ---------------------------------------------------------------------------
+# 26. language ID (stopword-profile heuristic)
+
+
+_LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "des", "un"],
+    "es": ["el", "los", "las", "y", "es", "uno"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def _langid_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    scores = {
+        lang: stop_hits_sql(dialect, w, stops) for lang, stops in _LANG_PROFILES.items()
+    }
+    langs = list(_LANG_PROFILES)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    score_cols = ", ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents)
+SELECT doc_id, {case} AS pred_lang, lang AS label_lang,
+       ({case}) = lang AS is_match
+FROM scored
+"""
+
+
+@register("lang_id", oracle=_langid_sql("duckdb"))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-profile language ID: per-language stopword hit
+    counts, argmax with fixed precedence. Pure column arithmetic — the
+    standard cheap lang-id pass before expensive pipeline stages."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_langid_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# 27. text quality scoring
+
+
+def _quality_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    wl = word_len_sum_sql(dialect, "w")
+    stops = stop_hits_sql(dialect, "w", _LANG_PROFILES["en"])
+    if dialect == "spark":
+        nopunct = "regexp_replace(text, '[^a-z0-9 ]', '')"
+    else:
+        nopunct = "regexp_replace(text, '[^a-z0-9 ]', '', 'g')"
+    return f"""
+WITH feats AS (
+    SELECT doc_id, length(text) AS n_chars,
+           {wl.replace('{w}', 'w')} AS wl_sum,
+           {stops} AS stop_hits,
+           length(text) - length({nopunct}) AS punct_chars,
+           len_w AS n_words
+    FROM (SELECT doc_id, text, {w} AS w,
+                 {('size(' + w + ')') if dialect == 'spark' else ('len(' + w + ')')} AS len_w
+          FROM documents)
+)
+SELECT doc_id, n_chars, n_words,
+       round(wl_sum / n_words, 6) AS avg_word_len,
+       round(stop_hits / cast(n_words AS double), 6) AS stopword_ratio,
+       round(punct_chars / cast(n_chars AS double), 6) AS punct_ratio,
+       round(least(n_words / 50.0, 1.0) * 0.5
+             + (stop_hits / cast(n_words AS double)) * 0.3
+             + least((wl_sum / cast(n_words AS double)) / 8.0, 1.0) * 0.2, 6)
+           AS quality_score
+FROM feats
+"""
+
+
+@register("text_quality", oracle=_quality_sql("duckdb"))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (length, stopword ratio, punctuation ratio, word
+    shape) + a composite score — the pre-training quality filter."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_quality_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# 28. token counting
+
+
+def _tokens_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    ws_n = f"size({w})" if dialect == "spark" else f"len({w})"
+    bpe = bpe_token_count_sql(dialect)
+    sub = subword_count_sql(dialect, w)
+    return f"""
+SELECT doc_id,
+       {ws_n} AS ws_tokens,
+       {bpe} AS bpe_tokens,
+       {sub} AS subword_tokens,
+       round(length(text) / cast({bpe} AS double), 6) AS chars_per_token
+FROM documents
+"""
+
+
+@register("token_count", oracle=_tokens_sql("duckdb"))
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace, BPE-ish regex, and subword-chunk token counts per doc —
+    the budget/packing arithmetic of a training pipeline."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_tokens_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# 29. document fingerprinting (winnowing)
+
+
+def _fingerprint_oracle() -> str:
+    return f"""
+WITH wd AS (SELECT doc_id, {_W_DUCK} AS w FROM documents),
+grams AS (
+    SELECT doc_id, pos,
+           md5(concat_ws(' ', w[pos], w[pos + 1], w[pos + 2], w[pos + 3])) AS h,
+           len(w) - 3 AS n_grams
+    FROM wd CROSS JOIN range(1, 200) t(pos)
+    WHERE pos <= len(w) - 3
+),
+sel AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+           pos, n_grams
+    FROM grams
+),
+fps AS (
+    SELECT doc_id, fp FROM sel WHERE pos <= n_grams - 4 GROUP BY doc_id, fp
+)
+SELECT d.doc_id,
+       coalesce(f.n_fp, 0) AS n_fingerprints,
+       f.min_fp
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
+           FROM fps GROUP BY doc_id) f
+ON d.doc_id = f.doc_id
+"""
+
+
+@register("doc_fingerprint", oracle=_fingerprint_oracle())
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: rolling md5 of word 4-grams, minimum per
+    sliding window of 5 — the standard robust near-copy fingerprint set."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""CASE WHEN size({_W_SPARK}) >= 4 THEN
+                    transform(sequence(0, size({_W_SPARK}) - 4),
+                        i -> md5(concat_ws(' ',
+                            element_at({_W_SPARK}, i + 1),
+                            element_at({_W_SPARK}, i + 2),
+                            element_at({_W_SPARK}, i + 3),
+                            element_at({_W_SPARK}, i + 4))))
+                    ELSE array() END"""
+            )
+        ).alias("pos", "h"),
+    )
+    sel = grams.selectExpr(
+        "doc_id",
+        "pos",
+        "min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp",
+        "max(pos) OVER (PARTITION BY doc_id) AS max_pos",
+    )
+    fps = sel.filter(F.col("pos") <= F.col("max_pos") - 4).select("doc_id", "fp").distinct()
+    agg = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"), F.min("fp").alias("min_fp")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            "min_fp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 30. multimodal column plumbing
+
+
+def _multimodal_sql(dialect: str) -> str:
+    blob = "cast(text AS binary)" if dialect == "spark" else "cast(text AS BLOB)"
+    # md5(BLOB) is unsupported in DuckDB; md5(VARCHAR) hashes the same utf8
+    # bytes as Spark's md5(binary-from-string), so both sides hash the text.
+    return f"""
+SELECT doc_id,
+       CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       octet_length({blob}) AS byte_len,
+       md5(text) AS content_hash,
+       cast(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 8) * 16 END AS double)
+           AS width,
+       cast(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 5) * 16 END AS double)
+           AS height,
+       cast(CASE WHEN doc_id % 3 = 1 THEN 16000 END AS double) AS sample_rate,
+       cast(CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 30 + 1) * 1.5 END AS double)
+           AS duration_s
+FROM documents
+"""
+
+
+@register("multimodal_meta", oracle=_multimodal_sql("duckdb"))
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns as opaque binary + typed metadata: byte length,
+    content hash, per-modality fields. The (stubbed) decode/feature path
+    over mapInPandas lives in operators.multimodal with its own tests."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_multimodal_sql("spark"))

@@ -1,0 +1,126 @@
+"""Unit tests for dedup/similarity/multimodal operators on tiny frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chilekids_etl_pipeline_spark.operators.dedup import (
+    exact_duplicates,
+    hamming_near_pairs,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_bands,
+    shingle_rows,
+    simhash,
+    verify_jaccard,
+)
+from chilekids_etl_pipeline_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    frame_sample_plan,
+    to_media_frame,
+)
+from chilekids_etl_pipeline_spark.operators.similarity import topk_cosine
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    got = {r.doc_id: (r.canonical_doc_id, r.is_dup) for r in exact_duplicates(df).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "q r s t u")])
+    sh = shingle_rows(df)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(sh, 0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_lsh_finds_identical_pair(spark):
+    df = _docs(spark, [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "q r s t u v w")])
+    sh = shingle_rows(df)
+    cand = lsh_candidate_pairs(minhash_bands(sh))
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (1, 2) in got
+    verified = {(r.doc_a, r.doc_b): r.jaccard for r in verify_jaccard(cand, sh, 0.5).collect()}
+    assert verified[(1, 2)] == 1.0
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d f")])
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 16
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in hamming_near_pairs(simhash(df), 3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_topk_cosine_orders_by_similarity(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    q = df.filter(F.col("vec_id") == 1)
+    got = [(r.neighbor_id, r.rank) for r in topk_cosine(q, df, k=2).collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "image")
+
+
+def test_multimodal_pipeline(spark):
+    docs = _docs(spark, [(0, "aaa"), (1, "bbbb"), (2, "cc")])
+    media = to_media_frame(docs)
+    rows = {r.doc_id: r for r in media.collect()}
+    assert rows[0].media_type == "image" and rows[0].byte_len == 3
+    assert rows[1].media_type == "audio" and rows[1].payload == b"bbbb"
+
+    feats = extract_features(media, fake=True, dim=4).collect()
+    by_id = {r.doc_id: r.feature for r in feats}
+    assert len(by_id[0]) == 4
+    assert all(0.0 <= v <= 1.0 for v in by_id[0])
+    # deterministic: same payload → same fake feature
+    assert by_id[0] == decode_stub(b"aaa", "image", fake=True, dim=4)
+
+    offs = {r.doc_id: r.frame_offsets for r in frame_sample_plan(media, 2, 3).collect()}
+    assert offs[1] == [0, 2]  # 4 bytes, every 2, capped
+
+
+def test_streaming_incremental(spark, tmp_path):
+    import json
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    events = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "event_type": "click", "value": 1.5, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 7, "event_type": "click", "value": 1.5, "props": "{}"},  # dup payload
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 8, "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    from chilekids_etl_pipeline_spark.streaming.incremental import (
+        incremental_normalize,
+        read_event_stream,
+        start_to_memory,
+    )
+
+    stream = read_event_stream(spark, str(src))
+    assert stream.isStreaming
+    q = start_to_memory(incremental_normalize(stream), "staging_stream_t")
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM staging_stream_t").collect()
+    # event 2 is a payload-duplicate of event 1 → deduped
+    assert sorted(r.raw_id for r in out) == [1, 3]
+    amounts = {r.raw_id: str(r.amount) for r in out}
+    assert amounts[1] == "1.50"
