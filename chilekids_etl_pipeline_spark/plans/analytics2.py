@@ -1,0 +1,153 @@
+"""Extended analytics (#31-34 in SURVEY.md §2 extension): as-of join,
+rollup hierarchies, selective single-agg, and EXISTS/semi-join shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+from .registry import register
+
+# --- 31. as-of (backward) join: purchase → most recent prior view per user
+
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+       (epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0 AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("asof_view_to_purchase", oracle=_ASOF_ORACLE)
+def asof_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: each purchase matched to the user's most recent
+    view at-or-before it. Spark has no ASOF JOIN; operators.asof implements
+    it as union + single-shuffle carry-forward window (no range join).
+    Oracle uses DuckDB's native ASOF JOIN — two independent formulations."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(purchases, views, on="user_id", ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("view_ts"),
+        (
+            (F.unix_micros("ts") - F.unix_micros("asof_ts")) / F.lit(1000000.0)
+        ).alias("gap_s"),
+    )
+
+
+# --- 32. rollup hierarchy (year_month × type → month subtotal → grand total)
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(year_month, 'ALL') AS year_month,
+       coalesce(type, 'ALL') AS type,
+       cast(sum(total) AS double) AS total_price,
+       count(*) AS record_count
+FROM (
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,
+           o_orderstatus AS type,
+           cast(o_totalprice AS decimal(18,2)) AS total
+    FROM orders
+)
+GROUP BY ROLLUP (year_month, type)
+"""
+
+
+@register("financials_rollup", oracle=_ROLLUP_ORACLE)
+def financials_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """financials_v extended to the full subtotal hierarchy via ROLLUP —
+    one pass computes month×type, month, and grand totals (partial
+    aggregation applies to every grouping set)."""
+    o = load_table(spark, sf_dir, "orders")
+    txns = o.select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("year_month"),
+        F.col("o_orderstatus").alias("type"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+    )
+    return (
+        txns.rollup("year_month", "type")
+        .agg(
+            F.sum("total").cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+        .select(
+            F.coalesce("year_month", F.lit("ALL")).alias("year_month"),
+            F.coalesce("type", F.lit("ALL")).alias("type"),
+            "total_price",
+            "record_count",
+        )
+    )
+
+
+# --- 33. Q6-style selective single aggregate
+
+
+_Q6_ORACLE = """
+SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))
+             * cast(l_discount AS decimal(18,2))) AS double) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly selective scan-and-aggregate: all four predicates push into
+    the parquet scan; no shuffle beyond the single-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- 34. EXISTS / semi-join shape
+
+
+_LATE_SHIP_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("late_shipment_orders", oracle=_LATE_SHIP_ORACLE)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped >90 days after order date
+    — LEFT SEMI join (the EXISTS shape: no duplication, no row blowup)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
