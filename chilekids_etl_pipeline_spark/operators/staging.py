@@ -1,0 +1,117 @@
+"""Full staging-record normalization: JSON payload → 45 typed columns.
+
+This is the Spark form of the reference's normalize_record
+(src/transform.py:123-197) + StagingRecord schema (src/models.py,
+configs/schema.sql staging.records): every business column is extracted
+from the raw payload by trying its known header variants in order
+(English, Russian, snake_case — transform.py's ``_get``), then parsed with
+the type-appropriate normalizer (money / int / multi-format timestamp).
+
+All of it is one wide Project of column expressions — a single codegen
+stage over the payload column, no Python, no per-row dict handling.
+
+Key-variant semantics: the reference also falls back to a
+lowercase/space-stripped match over arbitrary payload keys; JSON-path
+extraction is exact-key, so the variant lists below enumerate the
+lowercase forms explicitly (same effective behavior for every header the
+reference's own tests cover).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import int_sql, money_sql, ts_sql_spark
+
+# (column, type, header variants) — mirror of transform.py:131-183
+STAGING_COLUMNS: list[tuple[str, str, list[str]]] = [
+    ("date", "ts", ["Date", "Дата", "date"]),
+    ("payment_date", "ts", ["Payment date", "Payment Date", "Дата платежа", "payment_date"]),
+    ("payment_date_orig", "ts", ["Payment date (orig)", "Дата платежа (ориг)", "payment_date_orig"]),
+    ("task", "str", ["Task", "Задача", "task"]),
+    ("type", "str", ["Type", "Тип", "type"]),
+    ("client", "str", ["Client", "Клиент", "client"]),
+    ("vendor", "str", ["Vendor", "Поставщик", "vendor"]),
+    ("cashier", "str", ["Cashier", "Кассир", "cashier"]),
+    ("service", "str", ["Service", "Услуга", "service"]),
+    ("approver", "str", ["Approver", "Утверждающий", "approver"]),
+    ("category", "str", ["Category", "Категория", "category"]),
+    ("currency", "str", ["Currency", "Валюта", "currency"]),
+    ("subcategory", "str", ["Subcategory", "Подкатегория", "subcategory"]),
+    ("description", "str", ["Description", "Описание", "description"]),
+    ("direct_indirect", "str", ["Direct/Indirect", "Прямые/Косвенные", "direct_indirect"]),
+    ("cat_new", "str", ["cat_new", "Категория новая"]),
+    ("cat_final", "str", ["cat_final", "Категория финал"]),
+    ("subcat_new", "str", ["subcat_new", "Подкатегория новая"]),
+    ("subcat_final", "str", ["subcat_final", "Подкатегория финал"]),
+    ("kategoriya", "str", ["kategoriya", "Категория"]),
+    ("podstatya", "str", ["podstatya", "Подстатья"]),
+    ("statya", "str", ["statya", "Статья"]),
+    ("vidy_raskhodov", "str", ["vidy_raskhodov", "Виды расходов"]),
+    ("paket", "str", ["paket", "Пакет", "package"]),
+    ("package_secondary", "str", ["package_secondary", "package secondary", "Пакет вторичный"]),
+    ("year", "int", ["Year", "Год", "year"]),
+    ("month", "int", ["Month", "Месяц", "month"]),
+    ("quarter", "int", ["Quarter", "Квартал", "quarter"]),
+    ("count_vendor", "int", ["Count vendor", "Количество поставщиков", "count_vendor"]),
+    ("hours", "money", ["Hours", "Часы", "hours"]),
+    ("fx_rub", "money", ["FX RUB", "Курс РУБ", "fx_rub"]),
+    ("fx_usd", "money", ["FX USD", "Курс USD", "fx_usd"]),
+    ("total_rub", "money", ["Total RUB", "РУБ сумма", "total_rub", "rub_summa", "РУБ Сумма"]),
+    ("total_usd", "money", ["Total USD", "USD сумма", "total_usd", "usd_summa"]),
+    ("sum_total_rub", "money", ["sum Total RUB", "Сумма РУБ", "sum_total_rub"]),
+    ("total_in_currency", "money", ["Total in currency", "Сумма в валюте", "total_in_currency"]),
+    ("rub_summa", "money", ["rub_summa", "РУБ Сумма"]),
+    ("usd_summa", "money", ["usd_summa", "USD Сумма"]),
+    ("created_at", "ts", ["created_at"]),
+    ("updated_at", "ts", ["updated_at"]),
+    ("updated_by", "str", ["updated_by"]),
+]
+
+FINANCIAL_TYPES = ("Доход", "Расход", "Income", "Expense")
+
+
+def _extract(payload_col: str, variants: list[str]) -> str:
+    """SQL: first non-null JSON value among the header variants."""
+    gets = ", ".join(f"get_json_object({payload_col}, '$.{v}')" for v in variants)
+    return f"coalesce({gets})"
+
+
+def extract_sql(payload_col: str, variants: list[str], typ: str, dialect: str = "spark") -> str:
+    """Dialect-portable extraction+parse SQL for one staging column."""
+    if dialect == "spark":
+        gets = ", ".join(f"get_json_object({payload_col}, '$.{v}')" for v in variants)
+    else:
+        gets = ", ".join(f"json_extract_string({payload_col}, '$.\"{v}\"')" for v in variants)
+    raw = f"coalesce({gets})"
+    if typ == "str":
+        return raw
+    if typ == "money":
+        return money_sql(raw)
+    if typ == "int":
+        return int_sql(raw)
+    if typ == "ts":
+        if dialect == "spark":
+            return ts_sql_spark(raw)
+        from ..functions.normalize import ts_sql_duckdb
+
+        return ts_sql_duckdb(raw)
+    raise ValueError(typ)
+
+
+def normalize_staging(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Payload-JSON column → the full typed staging.records column set.
+
+    Adds ``financial_missing_total`` — the reference's validation warning
+    (transform.py:190-196: financial type but no Total RUB) as a flag
+    column instead of a log line, so downstream can route/alert on it.
+    """
+    cols: list[Column] = [F.col(c) for c in df.columns]
+    for name, typ, variants in STAGING_COLUMNS:
+        cols.append(F.expr(extract_sql(payload_col, variants, typ)).alias(name))
+    out = df.select(*cols)
+    fin = F.col("type").isin(*FINANCIAL_TYPES)
+    return out.withColumn(
+        "financial_missing_total", fin & F.col("total_rub").isNull()
+    )

@@ -1,0 +1,110 @@
+"""Full staging-record normalization query (reference parity, wide form).
+
+The reference's core transform turns every raw Google-Sheets payload into
+the 45-column ``staging.records`` row (src/transform.py:123-197 +
+src/models.py). Here the same thing is proven end-to-end at table scale:
+messy payloads are synthesized from lineitem in three header dialects
+(English / Russian / snake_case — the exact key-variant fallback chain
+transform.py's ``_get`` implements), then ``normalize_staging`` extracts
+and types every staging column in one whole-stage-codegen projection.
+
+The DuckDB oracle is generated from the SAME column spec
+(``STAGING_COLUMNS``) through the dialect-portable ``extract_sql``, so the
+test proves the full 41-column extraction+parse matrix, not a sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.staging import (
+    FINANCIAL_TYPES,
+    STAGING_COLUMNS,
+    extract_sql,
+    normalize_staging,
+)
+from ..sources.tables import load_table
+from .elt import _messy_date, _messy_money
+from .registry import register
+
+# Header dialect per row (l_orderkey % 3): English, Russian, snake_case.
+_STYLES = [
+    {"date": "Date", "type": "Type", "client": "Client", "category": "Category",
+     "total": "Total RUB", "year": "Year", "month": "Month"},
+    {"date": "Дата", "type": "Тип", "client": "Клиент", "category": "Категория",
+     "total": "РУБ сумма", "year": "Год", "month": "Месяц"},
+    {"date": "date", "type": "type", "client": "client", "category": "category",
+     "total": "total_rub", "year": "year", "month": "month"},
+]
+
+_TYPE_CASE = """CASE cast(l_linenumber % 4 AS int)
+    WHEN 0 THEN 'Income' WHEN 1 THEN 'Expense'
+    WHEN 2 THEN 'Доход' ELSE 'Прочее' END"""
+
+
+def _payload_sql(dialect: str) -> str:
+    """Build the messy JSON payload string, identical in both dialects."""
+    d = _messy_date(dialect)
+    m = _messy_money(dialect)
+    client = "concat('Client_', cast(l_partkey % 100 AS string))"
+    yr = "concat(' ', cast(year(l_shipdate) AS string))"   # leading space
+    mo = "concat(cast(month(l_shipdate) AS string), ',0')"  # decimal comma
+    branches = []
+    for i, ks in enumerate(_STYLES):
+        # Total key omitted on ~20% of rows → financial_missing_total flag.
+        total = (
+            "CASE WHEN l_orderkey % 5 = 0 THEN '' "
+            f"ELSE concat(',\"{ks['total']}\":\"', {m}, '\"') END"
+        )
+        js = (
+            f"concat('{{\"{ks['date']}\":\"', {d}, "
+            f"'\",\"{ks['type']}\":\"', {_TYPE_CASE}, "
+            f"'\",\"{ks['client']}\":\"', {client}, "
+            f"'\",\"{ks['category']}\":\"', l_returnflag, "
+            f"'\",\"{ks['year']}\":\"', {yr}, "
+            f"'\",\"{ks['month']}\":\"', {mo}, "
+            f"'\"', {total}, '}}')"
+        )
+        branches.append(f"WHEN {i} THEN {js}")
+    return f"CASE cast(l_orderkey % 3 AS int) {' '.join(branches)} END"
+
+
+def _staging_oracle() -> str:
+    cols = []
+    for name, typ, variants in STAGING_COLUMNS:
+        e = extract_sql("payload", variants, typ, dialect="duckdb")
+        if typ == "money":
+            e = f"cast({e} AS double)"
+        cols.append(f"{e} AS {name}")
+    fin = ", ".join(f"'{t}'" for t in FINANCIAL_TYPES)
+    return f"""
+WITH raw AS (
+    SELECT l_orderkey, l_linenumber, {_payload_sql('duckdb')} AS payload
+    FROM lineitem
+),
+parsed AS (
+    SELECT l_orderkey, l_linenumber, {', '.join(cols)} FROM raw
+)
+SELECT *, (type IN ({fin})) AND total_rub IS NULL AS financial_missing_total
+FROM parsed
+"""
+
+
+@register("staging_records", oracle=_staging_oracle())
+def staging_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full payload→staging.records transform
+    (src/transform.py:123-197) as one wide codegen projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_payload_sql("spark")).alias("payload"),
+    )
+    out = normalize_staging(raw, "payload")
+    proj = [F.col("l_orderkey"), F.col("l_linenumber")]
+    for name, typ, _ in STAGING_COLUMNS:
+        c = F.col(name)
+        proj.append((c.cast("double") if typ == "money" else c).alias(name))
+    proj.append(F.col("financial_missing_total"))
+    return out.select(*proj)
