@@ -40,7 +40,13 @@ from ..operators.dedup import (
     simhash,
     verify_jaccard,
 )
-from ..operators.similarity import VEC_AS_DOUBLE, ann_lsh_topk, topk_cosine, with_norm
+from ..operators.similarity import (
+    VEC_AS_DOUBLE,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    topk_cosine,
+    with_norm,
+)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -393,6 +399,63 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturbed new batch; expected hits are their source vectors."""
     base, planted = _vecs_spark(spark, sf_dir)
     return ann_lsh_topk(planted, base, k=3, num_planes=12)
+
+
+# ---------------------------------------------------------------------------
+# 25b. IVF-bucketed ANN (inverted-file coarse quantizer)
+
+
+_IVF_DOT = "list_reduce(list_transform(list_zip({a}, {b}), pp -> pp[1] * pp[2]), (x, y) -> x + y)"
+
+_IVF_ORACLE = f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+              FROM embeddings),
+norms AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+    FROM base
+),
+cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM norms WHERE vec_id < 8),
+assign AS (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY round({_IVF_DOT.format(a='v', b='cv')} / (nrm * cnrm), 6) DESC,
+                        centroid_id) AS crank
+    FROM norms CROSS JOIN cent
+),
+cells AS (SELECT vec_id, centroid_id FROM assign WHERE crank = 1),
+probes AS (SELECT vec_id, centroid_id FROM assign WHERE crank <= 2 AND vec_id % 50 = 0),
+pairs AS (
+    SELECT p.vec_id AS query_id, ce.vec_id AS neighbor_id,
+           round({_IVF_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) AS cosine
+    FROM probes p
+    JOIN cells ce USING (centroid_id)
+    JOIN norms q ON q.vec_id = p.vec_id
+    JOIN norms c ON c.vec_id = ce.vec_id
+    WHERE ce.vec_id <> p.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_cosine", oracle=_IVF_ORACLE)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: 8 deterministic centroids (stand-in for k-means|| on a
+    sample), corpus inverted into nearest-centroid cells, queries probe
+    their 2 nearest cells and rank exact cosine within them. Same query
+    set as knn_topk_cosine so recall against the exact baseline is directly
+    measurable. The cell join bounds pairwise work to ~nprobe/k of brute
+    force — the scale path when hyperplane LSH buckets skew."""
+    base, _ = _vecs_spark(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") % 50 == 0)
+    centroids = base.filter(F.col("vec_id") < 8)
+    return ann_ivf_topk(queries, base, centroids, k=5, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
