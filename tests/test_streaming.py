@@ -1,0 +1,104 @@
+"""Streaming pipelines: incremental ELT (file source → hash-dedup →
+normalize → memory sink) and stateful sessionization
+(applyInPandasWithState), both run with availableNow triggers on real
+event data dropped as JSON files."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chilekids_etl_pipeline_spark.sources.tables import load_table
+from chilekids_etl_pipeline_spark.streaming.incremental import (
+    incremental_normalize,
+    read_event_stream,
+    start_to_memory,
+)
+from chilekids_etl_pipeline_spark.streaming.sessionize import sessionize_stream
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def event_drops(spark, tmp_path):
+    """events at sf0.001 split into 3 JSON file drops (micro-batches)."""
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .limit(300)
+        .toPandas()
+    )
+    for i in range(3):
+        chunk = ev.iloc[i * 100 : (i + 1) * 100]
+        with open(tmp_path / f"drop_{i}.json", "w") as f:
+            for _, r in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": int(r.event_id),
+                            "ts": r.ts.isoformat(),
+                            "user_id": int(r.user_id),
+                            "event_type": r.event_type,
+                            "value": float(r.value),
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    return str(tmp_path), ev
+
+
+def test_incremental_stream_dedups_and_normalizes(spark, event_drops):
+    path, ev = event_drops
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    q = start_to_memory(incremental_normalize(stream), "t_staging_stream")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM t_staging_stream").toPandas()
+    assert set(out.columns) == {
+        "raw_id", "received_at", "source_type", "event_type", "amount", "payload_hash",
+    }
+    # every distinct content hash appears exactly once (streaming dedup)
+    assert out["payload_hash"].is_unique
+    assert 0 < len(out) <= 300
+    assert (out["source_type"] == "live").all()
+
+
+def test_sessionize_stream_matches_batch_gap_rule(spark, event_drops):
+    path, ev = event_drops
+    stream = read_event_stream(spark, path, max_files_per_trigger=3)
+    q = start_to_memory(sessionize_stream(stream), "t_sessions_stream")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM t_sessions_stream").toPandas()
+    assert len(out) == 300  # one output row per input event
+
+    # batch reference: same 30-min gap rule via a lag window
+    batch = (
+        spark.createDataFrame(ev[["user_id", "ts"]])
+        .withColumn(
+            "new_sess",
+            F.coalesce(
+                (
+                    F.col("ts").cast("long")
+                    - F.lag("ts").over(
+                        Window.partitionBy("user_id").orderBy("ts")
+                    ).cast("long")
+                )
+                > 1800,
+                F.lit(True),
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(Window.partitionBy("user_id").orderBy("ts")),
+        )
+        .toPandas()
+    )
+    merged = out.merge(
+        batch[["user_id", "ts", "session_seq"]],
+        on=["user_id", "ts"],
+        suffixes=("_stream", "_batch"),
+    )
+    assert len(merged) == 300
+    assert (merged["session_seq_stream"] == merged["session_seq_batch"]).all()
