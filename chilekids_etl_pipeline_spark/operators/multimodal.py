@@ -106,6 +106,43 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8, batch_hi
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_stub(payload: bytes, media_type: str, width: int, height: int, fake: bool = False) -> bytes:
+    """Stand-in for image/video resize. Real implementation would call
+    PIL/ffmpeg; absent those, either raise or emit a deterministic
+    truncated-and-tagged payload so batch plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            f"no codec available to resize {media_type}; install decoders or pass fake=True"
+        )
+    tag = f"resized:{width}x{height}:".encode()
+    return tag + payload[: width * height // 64]
+
+
+def resize_media(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Arrow-batched resize over mapInPandas: (doc_id, media_type, payload)
+    → same schema with the transformed payload and refreshed metadata.
+    Identical distribution shape to extract_features — per-item codec work
+    scales with partition count, nothing touches the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_stub(p, m, width, height, fake=fake)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "byte_len": [len(b) for b in out],
+                    "content_hash": [hashlib.md5(b).hexdigest() for b in out],
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """Deterministic 'frame sampling' over the opaque payload: byte offsets
     every_n_bytes apart (capped). Pure column expressions — shows how a

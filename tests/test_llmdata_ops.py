@@ -94,6 +94,14 @@ def test_multimodal_pipeline(spark):
     offs = {r.doc_id: r.frame_offsets for r in frame_sample_plan(media, 2, 3).collect()}
     assert offs[1] == [0, 2]  # 4 bytes, every 2, capped
 
+    from chilekids_etl_pipeline_spark.operators.multimodal import resize_media, resize_stub
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"bytes", "image", 8, 8)
+    resized = {r.doc_id: r for r in resize_media(media, 8, 8, fake=True).collect()}
+    assert resized[0].payload.startswith(b"resized:8x8:")
+    assert resized[0].byte_len == len(resized[0].payload)
+
 
 def test_streaming_incremental(spark, tmp_path):
     import json

@@ -1,0 +1,131 @@
+"""Physical-plan assertions (the 100 TB contract) + sink behavior.
+
+Correctness tests prove the numbers; these prove the SHAPE of execution:
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, candidate generation never degenerates to a cartesian product,
+bucketed joins run shuffle-free, and dynamic partition overwrite only
+replaces touched partitions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chilekids_etl_pipeline_spark.sources.sinks import (
+    read_partitioned,
+    write_bucketed_table,
+    write_partitioned,
+)
+from chilekids_etl_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _catalog():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
+QS = _catalog()
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(QS["q6_forecast_revenue"](spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan
+    # projection pruning: the 16-col lineitem scan reads only what Q6 needs
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q5_broadcasts_small_dimensions(spark):
+    plan = _plan(QS["q5_local_volume"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_never_cartesian(spark):
+    plan = _plan(QS["dedup_minhash_lsh"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(QS["q1_pricing_summary"](spark, SF_SMALL))
+    # map-side partial agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_changed_records_anti_join_no_cartesian(spark):
+    plan = _plan(QS["changed_records"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_overwrite_keeps_untouched_partitions(spark, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(orders, path, ["o_orderstatus"])
+    full = read_partitioned(spark, path)
+    statuses = {r.o_orderstatus for r in full.select("o_orderstatus").distinct().collect()}
+    assert len(statuses) >= 2
+    n_before = full.count()
+    one = sorted(statuses)[0]
+    n_in_one = full.filter(F.col("o_orderstatus") == one).count()
+
+    # rewrite ONE partition with a single sentinel row
+    sentinel = spark.createDataFrame(
+        [(-1, 0.0, one)], "o_orderkey long, o_totalprice double, o_orderstatus string"
+    )
+    write_partitioned(sentinel, path, ["o_orderstatus"])
+
+    after = read_partitioned(spark, path)
+    kept = after.filter(F.col("o_orderstatus") != one).count()
+    rewritten = after.filter(F.col("o_orderstatus") == one).count()
+    assert rewritten == 1  # touched partition replaced
+    assert kept == n_before - n_in_one
+
+    # partition pruning: filter on the partition col scans one directory
+    plan = _plan(after.filter(F.col("o_orderstatus") == one))
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_join_runs_without_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed_table(
+        orders, "t_orders_b", ["o_orderkey"], 4, path=str(tmp_path / "ob"),
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b", ["o_orderkey"], 4, path=str(tmp_path / "lb"),
+        sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+        plan = _plan(joined)
+        # co-located buckets: the sort-merge join needs NO shuffle on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
