@@ -31,6 +31,9 @@ OPTIONAL = [
     "knn_topk_cosine",
     "dedup_exact",
     "text_quality",
+    "elt_end_to_end",
+    "staging_records",
+    "ann_ivf_cosine",
 ]
 
 

@@ -260,6 +260,81 @@ WHERE o.payload_hash <> n.payload_hash
 """
 
 
+# --- 0. the whole incremental ELT loop, composed end-to-end
+
+
+def _e2e_oracle() -> str:
+    canon_cur = _canon("duckdb")
+    return f"""
+WITH cur AS (
+    SELECT event_id, ts, user_id, event_type, props,
+           CASE WHEN event_id % 5 = 0 THEN value + 10 ELSE value END AS value
+    FROM events
+),
+raw AS (
+    SELECT event_id, ts, event_type, value, md5({canon_cur}) AS payload_hash
+    FROM cur
+),
+staging AS (
+    SELECT event_id, ts, event_type, value, md5({canon_cur}) AS payload_hash
+    FROM (SELECT event_id, ts, user_id, event_type, props, value FROM events) cur
+    WHERE event_id % 10 < 8
+),
+changed AS (
+    SELECT r.* FROM raw r ANTI JOIN staging s USING (payload_hash)
+),
+unioned AS (
+    SELECT *, 1 AS version FROM staging
+    UNION ALL
+    SELECT *, 2 AS version FROM changed
+),
+upserted AS (
+    SELECT event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+        FROM unioned
+    ) WHERE rn = 1
+)
+SELECT date_trunc('month', ts) AS month, event_type,
+       cast(round(sum(cast(value AS decimal(10,2))), 2) AS double) AS total,
+       count(*) AS n
+FROM upserted
+GROUP BY date_trunc('month', ts), event_type
+"""
+
+
+@register("elt_end_to_end", oracle=_e2e_oracle())
+def elt_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire ``run_incremental_elt`` loop (main.py:33-139)
+    as one composed plan: hash the current snapshot (20% new rows, every
+    5th edited), anti-join against staged hashes to find changed records,
+    last-write-wins upsert into staging, then the monthly mart — extract,
+    detect, merge, aggregate in a single Catalyst-optimized DAG instead of
+    four driver round-trips."""
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 10).otherwise(F.col("value")),
+    )
+    cols = ["event_id", "ts", "event_type", "value", "payload_hash"]
+    raw = with_payload_hash(cur, F.expr(_canon("spark"))).select(*cols)
+    staging = (
+        with_payload_hash(ev, F.expr(_canon("spark")))
+        .filter(F.col("event_id") % 10 < 8)
+        .select(*cols)
+    )
+    chg = changed_records(raw, staging)
+    unioned = staging.withColumn("version", F.lit(1)).unionByName(
+        chg.withColumn("version", F.lit(2))
+    )
+    ups = upsert_latest(unioned, ["event_id"], ["version"])
+    return ups.groupBy(
+        F.date_trunc("month", "ts").alias("month"), "event_type"
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(10,2)")), 2).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("audit_changes", oracle=_audit_oracle())
 def audit_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit trigger semantics (alembic 7a8b9c0d1e2f): emit old/new payload

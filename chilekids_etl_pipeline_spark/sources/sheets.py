@@ -81,6 +81,25 @@ def load_sheet_values(spark: SparkSession, path: str, source: str = "sheets") ->
     return records_to_raw_df(spark, values_to_records(data.get("values", [])), source)
 
 
+def df_to_sheet_values(df: DataFrame, max_rows: int = 100_000) -> dict[str, Any]:
+    """DataFrame → Sheets API values payload (src/sheets.py:71 analog).
+
+    The export direction: header row followed by stringified data rows,
+    ready for a ``spreadsheets.values.update`` body. Guarded collect —
+    sheets are small by nature; exporting big data through this path is a
+    mistake the guard turns into an explicit error instead of a driver OOM.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"refusing to export {n} rows to a sheet (limit {max_rows}); "
+            "write parquet via sources.sinks instead"
+        )
+    cols = df.columns
+    str_df = df.select([F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in cols])
+    return {"values": [cols] + [[row[c] for c in cols] for row in str_df.collect()]}
+
+
 async def fetch_google_sheets(spreadsheet_id: str, range_name: str = "Sheet1!A:AF"):
     """Network fetch stub (reference: src/sheets.py:16). Wire a real client
     (google-api-python-client / aiohttp) in a deployment with network."""

@@ -55,6 +55,23 @@ def test_load_sheet_values_roundtrip(spark, tmp_path):
     assert set(rows) == {"7", "8"}
 
 
+def test_df_to_sheet_values_roundtrip(spark):
+    from chilekids_etl_pipeline_spark.sources.sheets import df_to_sheet_values
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 3.5)], "id long, name string, x double"
+    )
+    payload = df_to_sheet_values(df)
+    assert payload["values"][0] == ["id", "name", "x"]
+    rows = sorted(payload["values"][1:])
+    assert rows == [["1", "a", ""], ["2", "b", "3.5"]]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        df_to_sheet_values(df, max_rows=1)
+
+
 def test_fetch_stub_raises():
     import asyncio
 
