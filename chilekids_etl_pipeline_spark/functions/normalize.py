@@ -43,14 +43,24 @@ def _cleaned(col: str) -> tuple[str, str]:
     return neg, s2
 
 
-def money_sql(col: str, scale: int = 4) -> str:
-    """SQL expr parsing a messy money string → decimal(18, scale) or NULL."""
+def money_sql(col: str, scale: int = 4, dialect: str = "spark") -> str:
+    """SQL expr parsing a messy money string → decimal(18, scale) or NULL.
+
+    The Spark form extracts the after-last-separator tail with
+    ``substring_index`` (plain string scan); the DuckDB twin uses a greedy
+    regex — Java's regex engine is ~10x the cost of a scan and this runs
+    per value per row in the hot path.
+    """
     neg, s2 = _cleaned(col)
     has_dot = f"({s2} LIKE '%.%')"
     has_comma = f"({s2} LIKE '%,%')"
-    # greedy '^.*X' strips through the LAST X → tail after last separator
-    tail_dot = f"regexp_replace({s2}, '^.*[.]', '')"
-    tail_comma = f"regexp_replace({s2}, '^.*[,]', '')"
+    if dialect == "spark":
+        tail_dot = f"substring_index({s2}, '.', -1)"
+        tail_comma = f"substring_index({s2}, ',', -1)"
+    else:
+        # greedy '^.*X' strips through the LAST X → tail after last separator
+        tail_dot = f"regexp_replace({s2}, '^.*[.]', '')"
+        tail_comma = f"regexp_replace({s2}, '^.*[,]', '')"
     comma_count = f"(length({s2}) - length(replace({s2}, ',', '')))"
     fixed = f"""CASE
         WHEN {has_dot} AND {has_comma} THEN
@@ -69,17 +79,65 @@ def money_sql(col: str, scale: int = 4) -> str:
         ELSE {parsed} END"""
 
 
-def int_sql(col: str) -> str:
+def int_sql(col: str, dialect: str = "spark") -> str:
     """SQL expr: messy string → BIGINT, truncating toward zero.
 
     floor/ceil instead of a direct cast because DuckDB rounds on
     decimal→int casts while Spark truncates (reference truncates,
     src/transform.py:89-105).
     """
-    d = money_sql(col, scale=4)
+    d = money_sql(col, scale=4, dialect=dialect)
     return f"""CASE WHEN ({d}) IS NULL THEN NULL
         WHEN ({d}) >= 0 THEN cast(floor({d}) AS bigint)
         ELSE cast(ceil({d}) AS bigint) END"""
+
+
+# --- staged (part-wise) builders ------------------------------------------
+#
+# money_sql/int_sql inline their cleaned-string subexpression at every
+# occurrence (SQL has no let-binding), which is fine for a handful of
+# columns but blows the whole-stage-codegen method size past janino's
+# limits on a 41-column projection (observed: compile failure → interpreted
+# fallback, ~70x slower). The staged form materializes each reused piece as
+# its own column so later stages reference a cheap attribute; Catalyst
+# keeps the stages separate because the pieces are non-trivial and
+# multiply-referenced.
+
+
+def cleaned_parts_sql(col: str) -> tuple[str, str]:
+    """(negativity-test SQL, cleaned-digits SQL) — stage these as columns."""
+    return _cleaned(col)
+
+
+def money_from_parts_sql(raw_col: str, neg_col: str, s2_col: str, scale: int = 4) -> str:
+    """money parse given pre-staged cleaned parts (attribute references)."""
+    has_dot = f"({s2_col} LIKE '%.%')"
+    has_comma = f"({s2_col} LIKE '%,%')"
+    tail_dot = f"substring_index({s2_col}, '.', -1)"
+    tail_comma = f"substring_index({s2_col}, ',', -1)"
+    comma_count = f"(length({s2_col}) - length(replace({s2_col}, ',', '')))"
+    fixed = f"""CASE
+        WHEN {has_dot} AND {has_comma} THEN
+            CASE WHEN length({tail_dot}) < length({tail_comma})
+                 THEN replace({s2_col}, ',', '')
+                 ELSE replace(replace({s2_col}, '.', ''), ',', '.') END
+        WHEN {has_comma} THEN
+            CASE WHEN {comma_count} = 1 AND length({tail_comma}) <= 3
+                 THEN replace({s2_col}, ',', '.')
+                 ELSE replace({s2_col}, ',', '') END
+        ELSE {s2_col} END"""
+    parsed = f"try_cast({fixed} AS decimal(18, {scale}))"
+    return f"""CASE
+        WHEN {raw_col} IS NULL OR trim({raw_col}) = '' OR {s2_col} = '' THEN NULL
+        WHEN {neg_col} THEN -({parsed})
+        ELSE {parsed} END"""
+
+
+def int_from_decimal_sql(dec_col: str) -> str:
+    """bigint truncation toward zero from a pre-staged decimal column."""
+    return f"""CASE WHEN {dec_col} IS NULL THEN NULL
+        WHEN {dec_col} >= 0 THEN cast(floor({dec_col}) AS bigint)
+        ELSE cast(ceil({dec_col}) AS bigint) END"""
 
 
 # Reference format list: src/transform.py:28-34 (ISO first via dateutil,
@@ -103,6 +161,13 @@ _DUCKDB_FORMATS = [
 
 
 def ts_sql_spark(col: str) -> str:
+    """Multi-format timestamp parse: first-succeeding-attempt chain.
+
+    In non-ANSI mode ``try_to_timestamp`` returns NULL on mismatch without
+    raising, so the blind coalesce chain is cheap (a shape-dispatching CASE
+    rewrite measured 2x SLOWER — the extra substring tests cost more than
+    the failed parse attempts save).
+    """
     attempts = []
     for fmt in _SPARK_FORMATS:
         if fmt is None:

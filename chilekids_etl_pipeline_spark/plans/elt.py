@@ -163,7 +163,7 @@ WITH messy AS (
 ),
 parsed AS (
     SELECT l_returnflag,
-           {money_sql('money_str')} AS money_val,
+           {money_sql('money_str', dialect='duckdb')} AS money_val,
            {ts_sql_duckdb('date_str')} AS date_val
     FROM messy
 )

@@ -96,11 +96,16 @@ def staging_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full payload→staging.records transform
     (src/transform.py:123-197) as one wide codegen projection."""
     li = load_table(spark, sf_dir, "lineitem")
+    # The wide parse is CPU-bound; rebalance the thin (3-column) payload
+    # frame across all cores first. Single-row-group parquet gives the scan
+    # exactly one split, and at cluster scale a few fat input files would
+    # starve the parse the same way — the shuffle moves ~raw bytes once and
+    # buys full parallelism for the 41-column normalization above it.
     raw = li.select(
         "l_orderkey",
         "l_linenumber",
         F.expr(_payload_sql("spark")).alias("payload"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     out = normalize_staging(raw, "payload")
     proj = [F.col("l_orderkey"), F.col("l_linenumber")]
     for name, typ, _ in STAGING_COLUMNS:

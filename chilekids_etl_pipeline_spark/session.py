@@ -30,6 +30,18 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # Wide ELT projections (40+ staging columns of parse trees) overflow
+        # whole-stage codegen's single generated method — janino fails and
+        # Spark silently falls back to interpreted eval (~10x slower). Capping
+        # fused-plan width makes wide subtrees use per-operator codegen, which
+        # splits methods and always compiles; narrow analytical plans (TPC-H
+        # shapes are <20 columns) keep full whole-stage fusion.
+        .config("spark.sql.codegen.maxFields", "48")
+        # Exact-key JSON extraction: staging headers differ only by case
+        # (Date/date, Type/type are distinct payload keys), so struct-typed
+        # from_json needs case-sensitive field resolution. All internal
+        # column references use consistent casing.
+        .config("spark.sql.caseSensitive", "true")
         # events.parquet carries TIMESTAMP(NANOS); read as long, converted
         # back to timestamp in sources.tables (Spark has no nanos type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
