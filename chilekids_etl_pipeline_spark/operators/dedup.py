@@ -152,6 +152,68 @@ def verify_jaccard(cand: DataFrame, sh: DataFrame, min_jaccard: float, id_col: s
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, component) for every node of the near-dup pair graph —
+    component = smallest doc_id reachable. This is the cluster step of
+    corpus dedup: after pair generation (MinHash/SimHash/embedding), every
+    cluster keeps one canonical doc and drops the rest.
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converges in graph-diameter rounds (near-dup
+    clusters are shallow — a handful of rounds). The loop is
+    driver-coordinated like any Spark iterative algorithm, but all data
+    work is distributed joins/aggregations; each round is one shuffle on
+    the edge key. At extreme scale the same loop upgrades to the
+    large-star/small-star algorithm (Kiveris et al.) without changing the
+    contract.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionByName(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "component", F.col("doc_id")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges.b == labels.doc_id)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.doc_id == nbr.a, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("doc_id", "component")
+    finally:
+        edges.unpersist()
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over the token multiset, output as 16-char hex.
 

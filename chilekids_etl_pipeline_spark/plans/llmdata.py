@@ -32,6 +32,7 @@ from ..functions.text import (
     words_sql,
 )
 from ..operators.dedup import (
+    connected_components,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -218,6 +219,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_bands(sh, num_hashes=12, band_size=3)
     cand = lsh_candidate_pairs(bands)
     return verify_jaccard(cand, sh, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# 21b. dedup clustering: connected components over the near-dup pair graph
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT re.node, u.b FROM reach re JOIN und u ON u.a = re.r
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the MinHash near-dup pairs into connected components
+    (component = min doc_id reachable) — the keep-one-per-cluster step of
+    corpus dedup. Spark runs distributed min-label propagation (one
+    shuffle per round, diameter-bounded); the oracle computes the same
+    fixpoint with a recursive CTE."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -680,3 +712,59 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     over mapInPandas lives in operators.multimodal with its own tests."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_multimodal_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# 31. TF-IDF top terms (corpus-relative term weighting)
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_W_DUCK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term,
+           round(t.tf * ln((n.n + 1.0) / (i.df + 1.0)), 6) AS tfidf
+    FROM tf t JOIN idf i USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("tf_idf_top_terms", oracle=_TFIDF_ORACLE)
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+    Two hash aggregations (term frequencies, document frequencies) + a
+    1-row broadcast of the corpus size — the distributed shape of every
+    corpus-statistics weighting; no driver-side state."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.expr(_W_SPARK)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

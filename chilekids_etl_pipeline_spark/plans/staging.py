@@ -101,11 +101,12 @@ def staging_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly one split, and at cluster scale a few fat input files would
     # starve the parse the same way — the shuffle moves ~raw bytes once and
     # buys full parallelism for the 41-column normalization above it.
-    raw = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.expr(_payload_sql("spark")).alias("payload"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    raw = (
+        li.select("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice",
+                  "l_returnflag", "l_shipdate")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("l_orderkey", "l_linenumber", F.expr(_payload_sql("spark")).alias("payload"))
+    )
     out = normalize_staging(raw, "payload")
     proj = [F.col("l_orderkey"), F.col("l_linenumber")]
     for name, typ, _ in STAGING_COLUMNS:
