@@ -19,8 +19,10 @@ plans.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the 6-way star join (q5) on /root/testdata/sf0.001."""
-    return plans.queries()["q5_local_volume"](spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's whole incremental-ELT loop (extract → hash
+    → change-detect → upsert → monthly mart) as one composed Catalyst DAG,
+    on /root/testdata/sf0.001."""
+    return plans.queries()["elt_end_to_end"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,141 @@
+"""Scale-technique queries: skew-salted aggregation, KMV distinct sketch,
+exact percentiles.
+
+These demonstrate (and oracle-check) the patterns that keep aggregations
+healthy at 100 TB: two-stage salting for power-law keys, a deterministic
+k-minimum-values sketch for approximate distinct counts that both engines
+compute bit-identically (unlike HLL, whose register layout is
+engine-specific), and per-group interpolated percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_agg
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# salted aggregation over a skewed key (5 event types ← millions of rows)
+
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       cast(round(sum(cast(value AS decimal(10,2))), 2) AS double) AS total,
+       cast(min(value) AS double) AS min_v,
+       cast(max(value) AS double) AS max_v
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("skewed_agg_salted", oracle=_SALTED_ORACLE)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy on a 5-value key is maximal skew at cluster scale: every hot
+    key lands on one reducer. Two-stage salted aggregation (16 sub-keys per
+    key, partial agg, combine) produces the identical result with bounded
+    per-reducer input. The oracle is the plain GROUP BY — exactness of the
+    decomposition is the point."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.withColumn("value_dec", F.col("value").cast("decimal(10,2)")),
+        ["event_type"],
+        {
+            "n": "count:*",
+            "total_dec": "sum:value_dec",
+            "min_v": "min:value",
+            "max_v": "max:value",
+        },
+        salt_col=F.col("event_id"),
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("total_dec"), 2).cast("double").alias("total"),
+        F.col("min_v").cast("double"),
+        F.col("max_v").cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — engine-portable approx distinct
+
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH hashed AS (
+    SELECT DISTINCT md5(cast(user_id AS string)) AS h FROM events
+),
+kmin AS (SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K}),
+stats AS (
+    SELECT count(*) AS k,
+           max(cast(('0x' || substr(h, 1, 8)) AS bigint) / 4294967296.0) AS kth_frac
+    FROM kmin
+),
+exact AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT cast(round(CASE WHEN k < {_KMV_K} THEN k
+                       ELSE (k - 1) / kth_frac END, 2) AS double) AS kmv_estimate,
+       exact_distinct
+FROM stats CROSS JOIN exact
+"""
+
+
+@register("approx_distinct_kmv", oracle=_KMV_ORACLE)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct estimator: keep the k smallest md5 hashes
+    (a distributed TakeOrdered — each partition contributes its local top-k,
+    ~k·32 bytes cross the wire); estimate = (k-1)/kth_min. Deterministic
+    md5 order makes the sketch bit-identical in any engine — the portable
+    alternative to HLL when sketches must be mergeable across systems."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(F.md5(F.col("user_id").cast("string")).alias("h")).distinct()
+    kmin = hashed.orderBy("h").limit(_KMV_K)
+    stats = kmin.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.expr("conv(substr(h, 1, 8), 16, 10) / 4294967296.0")).alias("kth_frac"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return stats.crossJoin(exact).select(
+        F.round(
+            F.when(F.col("k") < _KMV_K, F.col("k").cast("double")).otherwise(
+                (F.col("k") - 1) / F.col("kth_frac")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("kmv_estimate"),
+        "exact_distinct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group interpolated percentiles
+
+
+_PCT_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("order_value_percentiles", oracle=_PCT_ORACLE)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation). At extreme scale
+    the same query swaps in approx_percentile (t-digest) — exact is kept
+    here so the oracle can verify to 4 decimals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
