@@ -1,0 +1,87 @@
+"""The reference's actual end-to-end path, through our engine: a Sheets
+values payload → raw layer (ids + content hashes) → full staging
+normalization — plus a hypothesis fuzz of the money parser against DuckDB
+(same SQL template, both engines, arbitrary messy strings)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from chilekids_etl_pipeline_spark.operators.staging import normalize_staging
+from chilekids_etl_pipeline_spark.sources.sheets import records_to_raw_df, values_to_records
+
+
+VALUES = [
+    ["Date", "Тип", "Client", "Категория", "Total RUB", "Месяц", "pk"],
+    ["01.02.2023", "Доход", "ООО Ромашка", "Software", "1 234,56", "2", "r-1"],
+    ["2023-03-05", "Расход", "ИП Иванов", "Rent", "($2,500.00)", "3", "r-2"],
+    ["03/04/2023", "Income", "Acme", "", "999", "4", ""],
+    ["", "", "", "", "", "", ""],  # blank row → dropped
+    ["05.06.2023 10:30:00", "Прочее", "Client X", "Misc", "", "6", "r-4"],
+]
+
+
+def test_sheet_values_through_staging(spark):
+    records = values_to_records(VALUES)
+    assert len(records) == 4  # blank row dropped
+    raw = records_to_raw_df(spark, records)
+    staged = normalize_staging(raw, "payload")
+    rows = {r.id: r for r in staged.collect()}
+
+    assert set(rows) == {"r-1", "r-2", "r-4"} | {
+        k for k in rows if k.startswith("sheet_auto_")
+    }
+    r1 = rows["r-1"]
+    assert str(r1.date) == "2023-02-01 00:00:00"
+    assert r1.type == "Доход"
+    assert r1.client == "ООО Ромашка"
+    assert r1.category == "Software"
+    assert float(r1.total_rub) == 1234.56
+    assert r1.month == 2
+    assert r1.financial_missing_total is False
+
+    r2 = rows["r-2"]
+    assert float(r2.total_rub) == -2500.0  # (x) negative, $ + thousands comma
+    assert str(r2.date) == "2023-03-05 00:00:00"
+
+    auto = next(r for k, r in rows.items() if k.startswith("sheet_auto_"))
+    assert float(auto.total_rub) == 999.0
+    assert str(auto.date) == "2023-03-04 00:00:00"  # MM/dd/yyyy
+    # reference keeps '' for str columns (models.py:63 empty_string_to_none
+    # applies only to year/month/quarter); numeric '' → NULL via the parsers
+    assert auto.category == ""
+
+    r4 = rows["r-4"]
+    assert str(r4.date) == "2023-06-05 10:30:00"
+    assert r4.total_rub is None
+    assert r4.financial_missing_total is False  # 'Прочее' is not financial
+
+
+MONEY_CHARS = st.sampled_from(list("0123456789.,$€₽()  -abc"))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(MONEY_CHARS, min_size=0, max_size=14), min_size=1, max_size=8))
+def test_money_parser_matches_duckdb_on_fuzz(spark, values):
+    """Both engines evaluate their money_sql template on the same strings;
+    results must agree exactly (incl. NULLs and negatives)."""
+    from chilekids_etl_pipeline_spark.functions.normalize import money_sql
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [
+        None if r.v is None else float(r.v)
+        for r in df.selectExpr(f"cast(({money_sql('s')}) AS double) AS v").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want = [
+        None if row[0] is None else float(row[0])
+        for row in con.execute(
+            f"SELECT cast(({money_sql('s', dialect='duckdb')}) AS double) FROM t"
+        ).fetchall()
+    ]
+    assert got == want
