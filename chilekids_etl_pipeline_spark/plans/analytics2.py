@@ -151,3 +151,69 @@ def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# time-window aggregations (tumbling + sliding) — the Structured Streaming
+# window shapes, run in batch so the oracle can check them
+
+
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       cast(round(sum(cast(value AS decimal(10,2))), 2) AS double) AS total
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("events_hourly_tumbling", oracle=_TUMBLING_ORACLE)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type via ``F.window`` — the exact
+    groupBy a Structured Streaming job runs with a watermark; in batch the
+    window expression is a plain epoch-aligned bucket (== date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(10,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+_SLIDING_ORACLE = """
+WITH slid AS (
+    SELECT unnest([date_trunc('hour', ts),
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+           value
+    FROM events
+)
+SELECT window_start,
+       count(*) AS n,
+       cast(round(sum(cast(value AS decimal(10,2))), 2) AS double) AS total
+FROM slid
+GROUP BY window_start
+"""
+
+
+@register("events_sliding_2h1h", oracle=_SLIDING_ORACLE)
+def events_sliding_2h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour: each event lands in exactly two
+    windows (``F.window`` duplicates rows window-side, not data-side — the
+    blowup factor is window/slide, bounded and explicit)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(10,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
