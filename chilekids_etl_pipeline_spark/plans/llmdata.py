@@ -215,7 +215,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join for candidates → exact-Jaccard verify ≥ 0.5. The LSH band join is
     what makes near-dup detection feasible on a 100 TB corpus: signatures
     are ~100 bytes/doc and only bucket collisions are verified."""
-    sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
+    # The shingle table feeds signature generation AND both sides of the
+    # verify join — materialize it once (LSH pipelines persist/checkpoint
+    # the shingle/signature tables for exactly this reuse; Spark's storage
+    # memory is bounded, eviction is safe because lineage recomputes).
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
     bands = minhash_bands(sh, num_hashes=12, band_size=3)
     cand = lsh_candidate_pairs(bands)
     return verify_jaccard(cand, sh, 0.5)

@@ -132,3 +132,16 @@ def test_streaming_incremental(spark, tmp_path):
     assert sorted(r.raw_id for r in out) == [1, 3]
     amounts = {r.raw_id: str(r.amount) for r in out}
     assert amounts[1] == "1.50"
+
+
+def test_connected_components_chains_and_islands(spark):
+    from chilekids_etl_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → component 1
+         (10, 11),                    # pair → component 10
+         (20, 21), (21, 22), (20, 22)],  # triangle → component 20
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
