@@ -217,3 +217,67 @@ def events_sliding_2h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n", "total")
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot + CUBE — the remaining reshaping aggregation shapes
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       cast(round(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_extendedprice AS decimal(12,2)) END), 2) AS double) AS status_f,
+       cast(round(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_extendedprice AS decimal(12,2)) END), 2) AS double) AS status_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("revenue_pivot_by_status", oracle=_PIVOT_ORACLE)
+def revenue_pivot_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshaping via ``pivot`` with explicit pivot values — explicit
+    values keep it a single-pass conditional aggregation (no extra distinct
+    job, schema stable at plan time — required at cluster scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").cast("double").alias("status_f"),
+        F.col("O").cast("double").alias("status_o"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       cast(round(sum(cast(l_extendedprice AS decimal(12,2))), 2) AS double) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("revenue_cube", oracle=_CUBE_ORACLE)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass — Spark expands grouping sets map-side, so the shuffle carries
+    each row once per set but aggregates partially first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )
