@@ -257,6 +257,64 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 21c. keep-best canonical selection per dup cluster
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT re.node, u.b FROM reach re JOIN und u ON u.a = re.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+{_DOCS_AUG_DUCK.lstrip()},
+j AS (
+    SELECT c.doc_id, c.component, length(d.text) AS len
+    FROM comp c JOIN docs d ON d.doc_id = c.doc_id
+),
+kept AS (
+    SELECT component, doc_id AS kept_doc_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY component
+                                     ORDER BY len DESC, doc_id) AS rn
+        FROM j
+    ) WHERE rn = 1
+),
+sizes AS (SELECT component, count(*) AS n_docs FROM j GROUP BY component)
+SELECT component, kept_doc_id, n_docs FROM kept JOIN sizes USING (component)
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per near-dup cluster: keep the LONGEST member
+    (quality proxy), not the smallest id — truncated copies lose to their
+    originals. The full corpus-dedup recipe end-to-end: MinHash pairs →
+    connected components → per-cluster argmax → keep list."""
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs)
+    docs = _docs_aug_spark(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("len")
+    )
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("len").desc(), "doc_id")
+    kept = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("kept_doc_id"))
+    )
+    sizes = j.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    return kept.join(sizes, "component")
+
+
+# ---------------------------------------------------------------------------
 # 22. SimHash signatures
 
 
