@@ -145,3 +145,32 @@ def test_connected_components_chains_and_islands(spark):
     )
     got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_pandas_udf_cosine_matches_jvm_expr(spark):
+    """The Arrow-batched Pandas-UDF path (for when vector math must leave
+    the JVM: real model inference, library kernels) agrees with the
+    pure-Column zip_with/aggregate implementation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from chilekids_etl_pipeline_spark.operators.similarity import dot_expr
+
+    # PEP 563 (module-level `from __future__ import annotations`) stringifies
+    # hints, which pandas_udf can't resolve from test locals — set real ones.
+    def _np_dot(a, b):
+        return pd.Series([float(np.dot(x, y)) for x, y in zip(a, b)])
+
+    _np_dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    np_dot = pandas_udf(_np_dot, "double")
+
+    rows = [(i, [float(i), 1.0, 2.0], [0.5, float(i), 1.0]) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        "id",
+        np_dot("a", "b").alias("py"),
+        dot_expr("a", "b").alias("jvm"),
+    ).collect()
+    for r in out:
+        assert abs(r.py - r.jvm) < 1e-9

@@ -129,3 +129,19 @@ def test_bucketed_join_runs_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS t_orders_b")
     spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_staging_prunes_lineitem_scan(spark):
+    plan = _plan(QS["staging_records"](spark, SF_SMALL))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice",
+                "l_returnflag", "l_shipdate"):
+        assert col in read_schema
+    # 16-column lineitem: the payload builder needs exactly 6
+    assert "l_comment" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_asof_and_ivf_avoid_cartesian(spark):
+    for name in ("asof_view_to_purchase", "ann_ivf_cosine"):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name

@@ -102,3 +102,34 @@ def test_sessionize_stream_matches_batch_gap_rule(spark, event_drops):
     )
     assert len(merged) == 300
     assert (merged["session_seq_stream"] == merged["session_seq_batch"]).all()
+
+
+def test_streaming_tumbling_window_matches_batch(spark, event_drops):
+    path, ev = event_drops
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_windows_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: r.n
+        for r in spark.sql("SELECT * FROM t_windows_stream").collect()
+    }
+    batch = (
+        spark.createDataFrame(ev[["ts"]])
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {r.window_start: r.n for r in batch}
+    assert got == want
