@@ -26,7 +26,14 @@ QUERIES: dict[str, Entry] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = Entry(fn=fn, oracle=oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..session import ensure_session_confs
+
+            return fn(ensure_session_confs(spark), sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = Entry(fn=wrapped, oracle=oracle)
         return fn
 
     return deco

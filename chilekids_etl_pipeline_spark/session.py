@@ -7,6 +7,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Runtime-settable confs every query needs regardless of who built the
+# session (the round driver passes its own SparkSession to entry()/queries()).
+# Static JVM confs can't be fixed post-hoc, but all of these are SQLConf-
+# runtime: tz-parity with the DuckDB oracle, nanos parquet reads, exact-case
+# JSON field resolution, and the wide-projection codegen cap.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.caseSensitive": "true",
+    "spark.sql.codegen.maxFields": "48",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-critical confs to an externally-built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — session.py already sets it
+    return spark
+
+
 def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
     """Build (or reuse) a SparkSession.
 
