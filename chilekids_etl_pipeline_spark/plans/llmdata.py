@@ -257,6 +257,90 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 21d. incremental batch dedup: new docs vs existing corpus signatures
+
+
+_INCR_DEDUP_ORACLE = f"""
+WITH {_DOCS_AUG_DUCK.lstrip()},
+wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
+sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+mh AS (
+    SELECT doc_id, seed, min(md5(concat(seed, '|', shingle))) AS mh
+    FROM sh CROSS JOIN range(0, 12) t(seed)
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 3 AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+    FROM mh GROUP BY doc_id, seed // 3
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n
+    JOIN bands c ON n.band = c.band AND n.band_sig = c.band_sig
+    WHERE n.doc_id >= 100000 AND c.doc_id < 100000
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT cd.new_id, cd.corpus_id, count(*) AS c
+    FROM cand cd
+    JOIN sh sa ON sa.doc_id = cd.new_id
+    JOIN sh sb ON sb.doc_id = cd.corpus_id AND sb.shingle = sa.shingle
+    GROUP BY cd.new_id, cd.corpus_id
+)
+SELECT new_id, corpus_id, round(c / (ca.n + cb.n - c), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = new_id
+JOIN counts cb ON cb.doc_id = corpus_id
+WHERE round(c / (ca.n + cb.n - c), 6) >= 0.5
+"""
+
+
+@register("dedup_incremental_batch", oracle=_INCR_DEDUP_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: only the NEW batch (planted ids ≥ 100000) is
+    checked against the existing corpus's LSH bands — the incremental twin
+    of dedup_minhash_lsh, mirroring the reference's changed-records
+    anti-join philosophy (transform.py:200) at corpus scale. At 100 TB the
+    corpus band table is a bucketed, persisted index; each batch joins
+    against it without recomputing corpus signatures."""
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
+    bands = minhash_bands(sh, num_hashes=12, band_size=3)
+    new_b = bands.filter(F.col("doc_id") >= 100000).select(
+        F.col("doc_id").alias("new_id"), "band", "band_sig"
+    )
+    corp_b = bands.filter(F.col("doc_id") < 100000).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_sig"
+    )
+    cand = (
+        new_b.join(corp_b, ["band", "band_sig"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    common = (
+        cand.join(a, "new_id")
+        .join(b, ["corpus_id", "shingle"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(ca, "new_id")
+        .join(cb, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 21c. keep-best canonical selection per dup cluster
 
 

@@ -94,3 +94,37 @@ def test_asof_join_matches_latest_at_or_before(spark):
     assert out["p1"] == (10, 200.0)  # equal ts matches
     assert out["p2"] == (15, 300.0)  # latest before
     assert out["p3"] == (None, None)  # no right rows for key 2
+
+
+def test_csv_json_roundtrip_with_quarantine(spark, tmp_path):
+    from chilekids_etl_pipeline_spark.sources.formats import (
+        read_csv,
+        read_json_lines,
+        split_corrupt,
+    )
+
+    csv_p = tmp_path / "ev.csv"
+    csv_p.write_text(
+        "event_id,event_type,value\n"
+        "1,click,1.5\n"
+        "2,view,2.25\n"
+        "not_a_number,purchase,oops,extra\n"  # malformed → quarantine
+        "4,click,0.75\n"
+    )
+    df = read_csv(spark, str(csv_p), "event_id long, event_type string, value double")
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() == 3
+    assert {r.event_id for r in clean.collect()} == {1, 2, 4}
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0].raw_record.startswith("not_a_number")
+
+    jl_p = tmp_path / "ev.jsonl"
+    jl_p.write_text(
+        '{"event_id": 1, "event_type": "click", "value": 1.5}\n'
+        "this is not json\n"
+        '{"event_id": 3, "event_type": "view", "value": 2.0}\n'
+    )
+    dj = read_json_lines(spark, str(jl_p), "event_id long, event_type string, value double")
+    clean_j, quar_j = split_corrupt(dj)
+    assert clean_j.count() == 2
+    assert quar_j.count() == 1
