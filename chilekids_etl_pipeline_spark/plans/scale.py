@@ -139,3 +139,50 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# marts build_all: one refresh pass over every mart (src/marts.py:45)
+
+
+_MART_NAMES = [
+    "financials_monthly",
+    "expenses_by_category",
+    "web_transactions",
+    "dim_clients",
+    "dim_categories",
+    "dim_vendors",
+    "campaigns_summary",
+]
+
+
+def _build_all_oracle() -> str:
+    from .registry import QUERIES
+
+    parts = [
+        f"SELECT '{n}' AS mart, count(*) AS n FROM ({QUERIES[n].oracle})"
+        for n in _MART_NAMES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("build_all_marts", oracle=_build_all_oracle())
+def build_all_marts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``marts.build_all`` (src/marts.py:45): refresh every
+    mart in one call. Here each mart is a lazy plan unioned into a single
+    job — Spark schedules them together and shares the scan of any common
+    input stage instead of refreshing views serially."""
+    from .registry import queries as _qs
+
+    qs = _qs()
+    counts = [
+        qs[n](spark, sf_dir)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(n).alias("mart"), "n")
+        for n in _MART_NAMES
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
