@@ -914,3 +914,72 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# 32. bigram LM scoring (corpus-trained quality filter)
+
+
+_BIGRAM_DUCK = """
+SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+FROM (SELECT doc_id, {w} AS w FROM documents)
+CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+""".format(w=_W_DUCK)
+
+_LM_ORACLE = f"""
+WITH bg AS ({_BIGRAM_DUCK}),
+cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+cnt1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+vocab AS (
+    SELECT count(DISTINCT tok) AS v
+    FROM (SELECT unnest({_W_DUCK}) AS tok FROM documents)
+),
+scored AS (
+    SELECT bg.doc_id,
+           -ln((c.c2 + 1.0) / (u.c1 + vocab.v)) AS neg_logp
+    FROM bg
+    JOIN cnt2 c ON c.w1 = bg.w1 AND c.w2 = bg.w2
+    JOIN cnt1 u ON u.w1 = bg.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(neg_logp), 6) AS avg_neg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_score", oracle=_LM_ORACLE)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM with Laplace smoothing, scoring every doc
+    by average -ln P(w2|w1) — the classic perplexity-style quality filter
+    for training corpora. Two global count tables (bigram, context) built
+    map-side; the per-doc scoring join shuffles on the bigram key. At
+    100 TB the count tables are the small side and broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", F.expr(_W_SPARK).alias("w"))
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cnt2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.expr(_W_SPARK)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bg.join(cnt2, ["w1", "w2"])
+        .join(cnt1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("neg_logp", -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("neg_logp"), 6).alias("avg_neg_logp"),
+    )
