@@ -983,3 +983,51 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("neg_logp"), 6).alias("avg_neg_logp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 33. dataset mixture sampling (deterministic per-source downsampling)
+
+
+_MIX_P = "CASE cast(substr(source, 4) AS int) % 3 WHEN 0 THEN 0.25 WHEN 1 THEN 0.5 ELSE 0.75 END"
+
+
+def _mix_frac(dialect: str) -> str:
+    if dialect == "spark":
+        return "conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) / 4294967296.0"
+    return "cast(('0x' || substr(md5(cast(doc_id AS string)), 1, 8)) AS bigint) / 4294967296.0"
+
+
+_MIX_ORACLE = f"""
+WITH flagged AS (
+    SELECT source,
+           CASE WHEN {_mix_frac('duckdb')} < {_MIX_P} THEN 1 ELSE 0 END AS keep
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_total,
+       cast(sum(keep) AS bigint) AS n_kept,
+       round(sum(keep) * 1.0 / count(*), 4) AS kept_frac,
+       cast({_MIX_P} AS double) AS target_frac
+FROM flagged GROUP BY source
+"""
+
+
+@register("dataset_mixture_sample", oracle=_MIX_ORACLE)
+def dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing for training corpora: each source gets a target weight
+    and rows are kept by a DETERMINISTIC content-hash coin flip (md5
+    fraction < weight) — reruns, retries, and different cluster layouts
+    all keep the identical row set, unlike rand()-based sampleBy. Output
+    compares achieved vs target fraction per source."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    flagged = docs.select(
+        "source",
+        F.when(F.expr(_mix_frac("spark")) < F.expr(_MIX_P), 1).otherwise(0).alias("keep"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("keep").alias("n_kept"),
+        F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("kept_frac"),
+        F.expr(_MIX_P).cast("double").alias("target_frac"),
+    )
