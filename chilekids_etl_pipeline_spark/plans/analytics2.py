@@ -281,3 +281,79 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13-shape: outer-join aggregate distribution (customers with zero orders
+# must appear — the shape an inner join silently gets wrong)
+
+
+_CUSTDIST_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+           ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register("customer_order_distribution", oracle=_CUSTDIST_ORACLE)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with the filter in the JOIN
+    condition (not WHERE — that would turn it inner and drop zero-order
+    customers), two-level aggregation to a histogram."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# correlated-subquery shape: rows above their group's mean, decorrelated
+
+
+_ABOVE_AVG_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       cast(round(sum(cast(o_totalprice AS decimal(12,2))), 2) AS double) AS total
+FROM orders o
+WHERE o_totalprice > (
+    SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("orders_above_customer_avg", oracle=_ABOVE_AVG_ORACLE)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated scalar subquery (each order vs its customer's average)
+    decorrelated into a window — one shuffle on the correlation key instead
+    of a per-row subquery; Catalyst plans the DuckDB-style correlated form
+    the same way, the window states it directly."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    above = o.withColumn("cust_avg", F.avg("o_totalprice").over(w)).filter(
+        F.col("o_totalprice") > F.col("cust_avg")
+    )
+    return above.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
