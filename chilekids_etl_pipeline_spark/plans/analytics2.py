@@ -357,3 +357,45 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: first-seen cohort × day offset → active user counts
+
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohort AS (
+    SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, a.day) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a
+JOIN cohort c USING (user_id)
+WHERE date_diff('day', c.cohort_day, a.day) <= 7
+GROUP BY c.cohort_day, day_offset
+"""
+
+
+@register("events_cohort_retention", oracle=_RETENTION_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active day, counted
+    on each later day (offset ≤ 7). Two aggregations + one join, all keyed
+    on user_id so the shuffles line up; the cohort table is the small side
+    at scale and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = activity.join(cohort, "user_id").withColumn(
+        "day_offset", F.datediff(F.col("day"), F.col("cohort_day"))
+    )
+    return (
+        joined.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
