@@ -178,9 +178,11 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint (not persist) so per-round lineage is truncated —
+    # iterative plans otherwise grow until the JVM stack-overflows.
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "component", F.col("doc_id")
-    ).persist()
+    ).localCheckpoint(eager=True)
     try:
         for _ in range(max_iter):
             nbr = (
@@ -196,7 +198,7 @@ def connected_components(
                         F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                     ).alias("component"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -209,9 +211,108 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            # Partial labels would silently split clusters — fail loudly.
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                f"rounds (graph diameter too large); raise max_iter or use "
+                f"connected_components_star"
+            )
         return labels.select("doc_id", "component")
     finally:
         edges.unpersist()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Same contract as ``connected_components`` but converges in O(log² n)
+    rounds regardless of graph DIAMETER — the upgrade path the min-label
+    docstring promises for deep chain-shaped clusters, where min-label
+    needs diameter rounds. Each round is two grouped min-joins over the
+    edge set (shuffles on the edge key only); the fixpoint is a forest of
+    stars centered at each component's minimum node, from which labels
+    read off directly.
+
+    - large-star: every neighbor v > u re-links to min(Γ(u) ∪ {u})
+    - small-star: orient edges (u = max, v = min); u and all its smaller
+      neighbors link to the smallest of them
+    Both preserve connectivity; edges monotonically contract onto centers.
+
+    Each round the edge set is ``localCheckpoint``-ed: iterative plans
+    otherwise accumulate lineage (plan depth grows per round and the JVM
+    eventually stack-overflows just printing the tree); checkpointing
+    truncates the plan so every round starts from materialized blocks.
+    """
+    edges0 = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        edges0.select(F.col("a").alias("doc_id"))
+        .union(edges0.select("b"))
+        .distinct()
+        .persist()
+    )
+    # orient (a = max, b = min) so round outputs are comparable as sets
+    edges = edges0.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            sym = edges.union(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            lmin = sym.groupBy("a").agg(F.min("b").alias("mn")).select(
+                "a", F.least("a", "mn").alias("m")
+            )
+            large = (
+                sym.join(lmin, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            oriented = large.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                oriented.join(smin, "u")
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .union(smin.select(F.col("u").alias("a"), F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                small.subtract(edges).union(edges.subtract(small)).limit(1).count()
+            )
+            edges.unpersist()
+            edges = small
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not converge within {max_iter} rounds"
+            )
+        return (
+            edges.select(F.col("a").alias("doc_id"), F.col("b").alias("component"))
+            .union(nodes.select("doc_id", F.col("doc_id").alias("component")))
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        )
+    finally:
+        nodes.unpersist()
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

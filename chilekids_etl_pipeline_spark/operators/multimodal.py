@@ -151,7 +151,10 @@ def frame_sample_plan(media: DataFrame, every_n_bytes: int = 64, max_frames: int
         "doc_id",
         "media_type",
         F.expr(
-            f"transform(sequence(0, least(cast(byte_len AS int) - 1, "
-            f"{(max_frames - 1)} * {every_n_bytes}), {every_n_bytes}), x -> x)"
+            # byte_len = 0 would make sequence(0, -1, step) an illegal range
+            # and crash the job on empty media rows — emit array() instead.
+            f"CASE WHEN byte_len <= 0 THEN array() "
+            f"ELSE transform(sequence(0, least(cast(byte_len AS int) - 1, "
+            f"{(max_frames - 1)} * {every_n_bytes}), {every_n_bytes}), x -> x) END"
         ).alias("frame_offsets"),
     )

@@ -62,8 +62,8 @@ def topk_cosine(
     )
 
 
-def hyperplane_signature(df: DataFrame, num_planes: int = 12, id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
-    """Deterministic Rademacher (±1) hyperplane LSH signature as a bit string.
+def _hyperplane_bits(df: DataFrame, num_planes: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, p, bit) — sign bit of each deterministic Rademacher hyperplane.
 
     Plane p's weight for dimension d is ±1 from the parity of the first
     hex nibble of md5('p_d') — reproducible in any engine with md5.
@@ -76,14 +76,47 @@ def hyperplane_signature(df: DataFrame, num_planes: int = 12, id_col: str = "vec
         f"THEN 1.0 ELSE -1.0 END)"
     )
     contrib = pd_rows.withColumn("c", F.expr(f"element_at(v, d + 1) * {w}"))
-    bits = contrib.groupBy(id_col, "p").agg(
+    return contrib.groupBy(id_col, "p").agg(
         F.when(F.sum("c") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
     )
+
+
+def hyperplane_signature(df: DataFrame, num_planes: int = 12, id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """Deterministic hyperplane LSH signature as one num_planes-bit string."""
+    bits = _hyperplane_bits(df, num_planes, id_col, vec_col)
     return bits.groupBy(id_col).agg(
         F.array_join(
             F.transform(F.array_sort(F.collect_list(F.struct("p", "bit"))), lambda x: x["bit"]),
             "",
         ).alias("sig")
+    )
+
+
+def hyperplane_bands(
+    df: DataFrame,
+    num_planes: int = 12,
+    band_size: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, band, band_sig): hyperplane bits grouped into OR-amplified bands.
+
+    Same banding trick as MinHash LSH: two vectors are candidates if ANY
+    band of ``band_size`` consecutive plane bits matches, which keeps
+    recall high for near-identical vectors (a band misses only when one of
+    its few planes flips) while the equi-join on (band, band_sig) keeps
+    candidate generation bucketed — never a cross join.
+    """
+    bits = _hyperplane_bits(df, num_planes, id_col, vec_col)
+    return (
+        bits.withColumn("band", F.expr(f"p DIV {band_size}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("p", "bit"))), lambda x: x["bit"]),
+                "",
+            ).alias("band_sig")
+        )
     )
 
 

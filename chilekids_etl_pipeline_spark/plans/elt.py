@@ -35,10 +35,16 @@ def _canon(dialect: str, value_expr: str = "value") -> str:
         k = "json_extract_string(props, '$.k')"
         micros = "epoch_us(ts)"
     val = f"cast(cast({value_expr} AS decimal(10,2)) AS string)"
+    # Every nullable field is coalesced to a JSON-null token: Spark's concat
+    # returns NULL on any NULL argument while DuckDB's skips them, so without
+    # this a sparse payload would hash differently per engine (and all
+    # NULL-hash rows would collapse into one bogus dup group).
     return (
-        f"concat('{{\"event_type\":\"', event_type, '\",\"k\":', {k}, "
-        f"',\"ts\":', {micros}, ',\"user_id\":', user_id, "
-        f"',\"value\":', {val}, '}}')"
+        f"concat('{{\"event_type\":\"', coalesce(event_type, ''), "
+        f"'\",\"k\":', coalesce({k}, 'null'), "
+        f"',\"ts\":', coalesce(cast({micros} AS string), 'null'), "
+        f"',\"user_id\":', coalesce(cast(user_id AS string), 'null'), "
+        f"',\"value\":', coalesce({val}, 'null'), '}}')"
     )
 
 
@@ -50,9 +56,10 @@ def _canon_no_ts(dialect: str) -> str:
     else:
         k = "json_extract_string(props, '$.k')"
     return (
-        f"concat('{{\"event_type\":\"', event_type, '\",\"k\":', {k}, "
-        f"',\"user_id\":', user_id, "
-        f"',\"value\":', cast(cast(value AS decimal(10,2)) AS string), '}}')"
+        f"concat('{{\"event_type\":\"', coalesce(event_type, ''), "
+        f"'\",\"k\":', coalesce({k}, 'null'), "
+        f"',\"user_id\":', coalesce(cast(user_id AS string), 'null'), "
+        f"',\"value\":', coalesce(cast(cast(value AS decimal(10,2)) AS string), 'null'), '}}')"
     )
 
 

@@ -32,8 +32,9 @@ from ..functions.text import (
     words_sql,
 )
 from ..operators.dedup import (
-    connected_components,
+    connected_components_star,
     exact_duplicates,
+    hamming_near_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_bands,
@@ -45,6 +46,7 @@ from ..operators.similarity import (
     VEC_AS_DOUBLE,
     ann_ivf_topk,
     ann_lsh_topk,
+    hyperplane_bands,
     topk_cosine,
     with_norm,
 )
@@ -251,9 +253,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (component = min doc_id reachable) — the keep-one-per-cluster step of
     corpus dedup. Spark runs distributed min-label propagation (one
     shuffle per round, diameter-bounded); the oracle computes the same
-    fixpoint with a recursive CTE."""
+    fixpoint with a recursive CTE. Uses the large-star/small-star variant
+    (O(log² n) rounds, diameter-independent) — the 100 TB-safe choice when
+    near-dup chains can be arbitrarily deep."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    return connected_components(pairs)
+    return connected_components_star(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +387,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    comp = connected_components(pairs)
+    comp = connected_components_star(pairs)
     docs = _docs_aug_spark(spark, sf_dir).select(
         "doc_id", F.length("text").alias("len")
     )
@@ -402,13 +406,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 22. SimHash signatures
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte(source: str = "documents") -> str:
+    """DuckDB CTE chain computing sig(doc_id, simhash) over ``source``."""
     nib = f"(strpos('{HEX}', substr(h, 1 + pos // 4, 1)) - 1)"
     mask = "(CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)"
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, tok, count(*) AS cnt
-    FROM (SELECT doc_id, unnest({_W_DUCK}) AS tok FROM documents)
+    FROM (SELECT doc_id, unnest({_W_DUCK}) AS tok FROM {source})
     GROUP BY doc_id, tok
 ),
 th AS (SELECT doc_id, cnt, md5(tok) AS h FROM toks),
@@ -423,14 +427,19 @@ bits AS (
 ),
 nib AS (
     SELECT doc_id, pos // 4 AS nib,
-           sum(bit * {mask.replace('pos % 4', 'pos % 4')}) AS nv
+           sum(bit * {mask}) AS nv
     FROM bits GROUP BY doc_id, pos // 4
-)
-SELECT doc_id,
-       string_agg(substr('{HEX}', cast(nv AS int) + 1, 1), '' ORDER BY nib)
-           AS simhash
-FROM nib GROUP BY doc_id
-"""
+),
+sig AS (
+    SELECT doc_id,
+           string_agg(substr('{HEX}', cast(nv AS int) + 1, 1), '' ORDER BY nib)
+               AS simhash
+    FROM nib GROUP BY doc_id
+)"""
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_cte('documents')}\nSELECT doc_id, simhash FROM sig"
 
 
 @register("dedup_simhash", oracle=_simhash_oracle())
@@ -440,6 +449,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance is `operators.dedup.hamming_near_pairs` (blocked pigeonhole
     join), unit-tested separately."""
     return simhash(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# 22b. SimHash hamming near-pairs (the end-to-end SimHash dedup path)
+
+
+def _simhash_pairs_oracle() -> str:
+    ham = " + ".join(
+        f"bit_count(xor((strpos('{HEX}', substr(sig_a, {i + 1}, 1)) - 1), "
+        f"(strpos('{HEX}', substr(sig_b, {i + 1}, 1)) - 1)))"
+        for i in range(16)
+    )
+    return f"""
+WITH w0 AS (SELECT doc_id, {_W_DUCK} AS w FROM documents),
+sdocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           array_to_string(w[1:greatest(len(w) - 5, 1)], ' ') AS text
+    FROM w0 WHERE doc_id % 10 = 5
+),
+{_simhash_cte('sdocs')},
+blocked AS (
+    SELECT doc_id, simhash, blk, substr(simhash, 1 + 4 * blk, 4) AS key
+    FROM sig CROSS JOIN range(0, 4) t(blk)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cast({ham} AS int) AS hamming
+FROM cand
+WHERE {ham} <= 3
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup end-to-end: signatures over the corpus plus planted
+    exact copies (every 10th doc) and tail-truncated near-copies (every
+    10th+5), then hamming-≤3 pairing via the pigeonhole-blocked equi-join
+    (operators.dedup.hamming_near_pairs) — distance ≤ 3 over 4 blocks of
+    16 bits guarantees one identical block, so candidates come from block
+    buckets, never O(n²). This is the production-shape SimHash path on a
+    100 TB corpus: 8 bytes/doc signature, 4 index probes per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    trunc = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(_TRUNC_SPARK).alias("text"),
+    )
+    sdocs = docs.unionByName(exact).unionByName(trunc)
+    sigs = simhash(sdocs)
+    return hamming_near_pairs(sigs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -467,10 +538,24 @@ WHERE q.vec_id >= 100000 AND c.vec_id < 100000
 @register("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection of a new batch (perturbed copies) against the
-    corpus: cosine ≥ 0.98. Incremental-batch shape: the small new side
-    broadcasts, the corpus partition-scans once (cf. the reference's
-    incremental anti-join philosophy, src/transform.py:200)."""
+    corpus: cosine ≥ 0.98, candidates generated through banded
+    hyperplane-LSH buckets (4 bands × 3 planes, OR-amplified) — at 100 TB
+    a daily batch is NOT broadcastable, so no cross join: band signatures
+    are a few bytes/vector and the (band, band_sig) equi-join bounds
+    pairwise work to bucket collisions, exactly like the MinHash recipe.
+    Exact cosine then verifies candidates only. The oracle stays the exact
+    all-pairs scan, so a green row PROVES recall is exact for the planted
+    dups: a 0.05 single-dimension perturbation flips a plane bit only when
+    that projection sits within 0.05 of zero, and a pair is lost only if
+    all 4 bands contain a flipped bit simultaneously."""
     base, planted = _vecs_spark(spark, sf_dir)
+    nb = hyperplane_bands(planted, num_planes=12, band_size=3).select(
+        F.col("vec_id").alias("new_id"), "band", "band_sig"
+    )
+    cb = hyperplane_bands(base, num_planes=12, band_size=3).select(
+        F.col("vec_id").alias("dup_of"), "band", "band_sig"
+    )
+    cand = nb.join(cb, ["band", "band_sig"]).select("new_id", "dup_of").distinct()
     q = with_norm(planted, "vec", "qnorm").select(
         F.col("vec_id").alias("new_id"), F.col("vec").alias("qvec"), "qnorm"
     )
@@ -479,7 +564,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = "aggregate(zip_with(qvec, cvec, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"
     return (
-        c.crossJoin(F.broadcast(q))
+        cand.join(q, "new_id")
+        .join(c, "dup_of")
         .withColumn("cosine", F.round(F.expr(dot) / (F.col("qnorm") * F.col("cnorm")), 6))
         .filter(F.col("cosine") >= 0.98)
         .select("new_id", "dup_of", "cosine")
@@ -541,7 +627,8 @@ sig AS (
     FROM (
         SELECT vec_id, p,
                CASE WHEN sum(v[d + 1] * {w}) >= 0 THEN '1' ELSE '0' END AS bit
-        FROM allv CROSS JOIN range(0, 12) pl(p) CROSS JOIN range(0, 64) dd(d)
+        FROM (SELECT vec_id, v, unnest(range(0, len(v))) AS d FROM allv)
+             CROSS JOIN range(0, 12) pl(p)
         GROUP BY vec_id, p
     ) GROUP BY vec_id
 ),
@@ -757,12 +844,14 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fingerprint_oracle() -> str:
     return f"""
 WITH wd AS (SELECT doc_id, {_W_DUCK} AS w FROM documents),
+posd AS (
+    SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 1))) AS pos FROM wd
+),
 grams AS (
     SELECT doc_id, pos,
            md5(concat_ws(' ', w[pos], w[pos + 1], w[pos + 2], w[pos + 3])) AS h,
            len(w) - 3 AS n_grams
-    FROM wd CROSS JOIN range(1, 200) t(pos)
-    WHERE pos <= len(w) - 3
+    FROM posd
 ),
 sel AS (
     SELECT doc_id,

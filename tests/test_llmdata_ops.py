@@ -103,6 +103,15 @@ def test_multimodal_pipeline(spark):
     assert resized[0].byte_len == len(resized[0].payload)
 
 
+def test_frame_sample_plan_empty_payload(spark):
+    # byte_len = 0 must yield an empty offset plan, not an illegal sequence
+    docs = _docs(spark, [(0, ""), (1, "xyz")])
+    media = to_media_frame(docs)
+    offs = {r.doc_id: r.frame_offsets for r in frame_sample_plan(media, 2, 3).collect()}
+    assert offs[0] == []
+    assert offs[1] == [0, 2]
+
+
 def test_streaming_incremental(spark, tmp_path):
     import json
 
@@ -145,6 +154,23 @@ def test_connected_components_chains_and_islands(spark):
     )
     got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_star_deep_chain(spark):
+    """Large-star/small-star handles a diameter-40 chain that min-label
+    propagation (diameter-bounded, default max_iter=20) cannot."""
+    from chilekids_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 41)]  # 1-2-3-...-41
+    extra = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + extra, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component for r in connected_components_star(pairs).collect()}
+    assert got == {**{i: 1 for i in range(1, 42)}, 100: 100, 101: 100, 102: 100}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=5)
 
 
 def test_pandas_udf_cosine_matches_jvm_expr(spark):

@@ -59,6 +59,21 @@ def test_minhash_lsh_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_dedup_never_cartesian(spark):
+    """dedup_embedding_cosine candidates come from banded hyperplane-LSH
+    equi-joins — at 100 TB the new batch is not broadcastable, so the plan
+    must contain no cartesian/nested-loop join of any kind."""
+    plan = _plan(QS["dedup_embedding_cosine"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_never_cartesian(spark):
+    plan = _plan(QS["dedup_simhash_pairs"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q1_partial_aggregation(spark):
     plan = _plan(QS["q1_pricing_summary"](spark, SF_SMALL))
     # map-side partial agg before the exchange, final after
