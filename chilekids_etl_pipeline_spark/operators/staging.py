@@ -10,11 +10,21 @@ the type-appropriate normalizer (money / int / multi-format timestamp).
 All of it is one wide Project of column expressions — a single codegen
 stage over the payload column, no Python, no per-row dict handling.
 
-Key-variant semantics: the reference also falls back to a
-lowercase/space-stripped match over arbitrary payload keys; JSON-path
-extraction is exact-key, so the variant lists below enumerate the
-lowercase forms explicitly (same effective behavior for every header the
-reference's own tests cover).
+Key-variant semantics mirror the reference's ``_get`` exactly
+(src/transform.py:108-115): every exact header variant is probed in
+order first; if none hit, the payload's *arbitrary* keys are
+lowercase/space-strip normalized (last key wins on collision — the
+reference's dict comprehension) and the normalized variant names are
+probed against that map. A sheet with a novel-cased header ("DATE",
+"Total rub ") therefore normalizes here just as it does in the
+reference, without enumerating the casing up front.
+
+Row-level validation: beyond ``financial_missing_total``
+(transform.py:190-196), ``parse_failed_cols`` lists every typed column
+whose raw payload value was present but failed its money/int/timestamp
+parse — the flag-column form of the reference's pydantic rejection
+(transform.py:185-187), so malformed rows can be routed/quarantined
+instead of silently nulling out.
 """
 
 from __future__ import annotations
@@ -79,19 +89,45 @@ STAGING_COLUMNS: list[tuple[str, str, list[str]]] = [
 FINANCIAL_TYPES = ("Доход", "Расход", "Income", "Expense")
 
 
-def _extract(payload_col: str, variants: list[str]) -> str:
-    """SQL: first non-null JSON value among the header variants."""
-    gets = ", ".join(f"get_json_object({payload_col}, '$.{v}')" for v in variants)
-    return f"coalesce({gets})"
+def norm_variants(variants: list[str]) -> list[str]:
+    """Normalized (lower, space-stripped) variant keys, deduped in order —
+    the probe order of the reference's ``_get`` fallback loop."""
+    out: list[str] = []
+    for v in variants:
+        nk = v.lower().replace(" ", "")
+        if nk not in out:
+            out.append(nk)
+    return out
+
+
+def extract_raw_sql(payload_col: str, variants: list[str], dialect: str = "spark") -> str:
+    """Dialect-portable raw-string extraction for one staging column:
+    exact variants in order, then the normalized-arbitrary-key fallback
+    (transform.py:108-115). Last payload key wins a normalized collision.
+    """
+    if dialect == "spark":
+        probes = [f"get_json_object({payload_col}, '$.{v}')" for v in variants]
+        for nk in norm_variants(variants):
+            probes.append(
+                f"try_element_at(transform_keys(from_json({payload_col}, "
+                f"'map<string,string>'), (k, v) -> lower(replace(k, ' ', ''))), '{nk}')"
+            )
+    else:
+        probes = [f"json_extract_string({payload_col}, '$.\"{v}\"')" for v in variants]
+        for nk in norm_variants(variants):
+            key = (
+                f"list_filter(json_keys({payload_col}), "
+                f"k -> lower(replace(k, ' ', '')) = '{nk}')[-1]"
+            )
+            probes.append(
+                f"json_extract_string({payload_col}, '$.\"' || {key} || '\"')"
+            )
+    return f"coalesce({', '.join(probes)})"
 
 
 def extract_sql(payload_col: str, variants: list[str], typ: str, dialect: str = "spark") -> str:
     """Dialect-portable extraction+parse SQL for one staging column."""
-    if dialect == "spark":
-        gets = ", ".join(f"get_json_object({payload_col}, '$.{v}')" for v in variants)
-    else:
-        gets = ", ".join(f"json_extract_string({payload_col}, '$.\"{v}\"')" for v in variants)
-    raw = f"coalesce({gets})"
+    raw = extract_raw_sql(payload_col, variants, dialect=dialect)
     if typ == "str":
         return raw
     if typ == "money":
@@ -135,13 +171,30 @@ def normalize_staging(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             if v not in keys:
                 keys.append(v)
     schema = ", ".join(f"`{k}`:string" for k in keys)
-    parsed = df.withColumn("__s", F.from_json(F.col(payload_col), f"struct<{schema}>"))
+    # __nm: the reference's normalized-arbitrary-key lookup
+    # ({k.lower().replace(' ',''): v}, transform.py:112) as a second map-typed
+    # parse of the same payload. Built once per row; probed only when every
+    # exact struct probe missed (coalesce short-circuits), so novel-cased
+    # headers cost nothing on well-formed rows beyond the one extra parse.
+    # mapKeyDedupPolicy=LAST_WIN (session.py) gives the dict-comprehension
+    # last-wins on normalized collisions.
+    parsed = df.withColumn(
+        "__s", F.from_json(F.col(payload_col), f"struct<{schema}>")
+    ).withColumn(
+        "__nm",
+        F.expr(
+            f"transform_keys(from_json({payload_col}, 'map<string,string>'), "
+            "(k, v) -> lower(replace(k, ' ', '')))"
+        ),
+    )
 
     # stage 1: first-present header variant per staging column
+    # (exact variants in order, then normalized-key fallback — _get parity)
     raws: list[Column] = []
     for name, _typ, variants in STAGING_COLUMNS:
-        probes = ", ".join(f"__s.`{v}`" for v in variants)
-        raws.append(F.expr(f"coalesce({probes})").alias(f"__r_{name}"))
+        probes = [f"__s.`{v}`" for v in variants]
+        probes += [f"try_element_at(__nm, '{nk}')" for nk in norm_variants(variants)]
+        raws.append(F.expr(f"coalesce({', '.join(probes)})").alias(f"__r_{name}"))
     stage1 = parsed.select(*base_cols, *raws)
 
     # stage 2: cleaned parts for every numeric column (reused ~12x below)
@@ -163,19 +216,44 @@ def normalize_staging(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         )
     stage3 = stage2.select(*base_cols, *decs)
 
-    # stage 4: final typed projection
+    # stage 4: final typed projection (raw strings of typed cols kept for
+    # the validation stage below)
     typed: list[Column] = list(base_cols)
+    raws_kept: list[Column] = []
     for name, typ, _variants in STAGING_COLUMNS:
         if typ == "str":
             typed.append(F.col(f"__r_{name}").alias(name))
         elif typ == "money":
             typed.append(F.col(f"__dec_{name}").alias(name))
+            raws_kept.append(F.col(f"__r_{name}"))
         elif typ == "int":
             typed.append(F.expr(int_from_decimal_sql(f"__dec_{name}")).alias(name))
+            raws_kept.append(F.col(f"__r_{name}"))
         else:
             typed.append(F.expr(ts_sql_spark(f"__r_{name}")).alias(name))
-    out = stage3.select(*typed)
+            raws_kept.append(F.col(f"__r_{name}"))
+    stage4 = stage3.select(*typed, *raws_kept)
+
+    # stage 5: row-level validation — the pydantic-rejection analog
+    # (transform.py:185-187) as data: a typed column whose raw value was
+    # present but parsed to NULL is a type violation; its name is recorded
+    # in parse_failed_cols (comma-joined; '' = clean row) so downstream can
+    # quarantine instead of silently ingesting nulls.
+    flags = []
+    for name, typ, _variants in STAGING_COLUMNS:
+        if typ == "str":
+            continue
+        flags.append(
+            f"CASE WHEN __r_{name} IS NOT NULL AND trim(__r_{name}) <> '' "
+            f"AND {name} IS NULL THEN '{name}' END"
+        )
+    failed = (
+        f"concat_ws(',', filter(array({', '.join(flags)}), x -> x IS NOT NULL))"
+    )
     fin = F.col("type").isin(*FINANCIAL_TYPES)
-    return out.withColumn(
-        "financial_missing_total", fin & F.col("total_rub").isNull()
+    keep = [c for c in stage4.columns if not c.startswith("__r_")]
+    return (
+        stage4.withColumn("financial_missing_total", fin & F.col("total_rub").isNull())
+        .withColumn("parse_failed_cols", F.expr(failed))
+        .select(*keep, "financial_missing_total", "parse_failed_cols")
     )

@@ -18,17 +18,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.normalize import int_sql, money_sql, ts_sql_duckdb
 from ..operators.staging import (
     FINANCIAL_TYPES,
     STAGING_COLUMNS,
-    extract_sql,
+    extract_raw_sql,
     normalize_staging,
 )
 from ..sources.tables import load_table
 from .elt import _messy_date, _messy_money
 from .registry import register
 
-# Header dialect per row (l_orderkey % 3): English, Russian, snake_case.
+# Header dialect per row (l_orderkey % 4): English, Russian, snake_case,
+# and a novel-cased dialect no variant list enumerates — resolvable only
+# through the reference's normalized-arbitrary-key fallback
+# (transform.py:108-115), which is exactly what it exercises.
 _STYLES = [
     {"date": "Date", "type": "Type", "client": "Client", "category": "Category",
      "total": "Total RUB", "year": "Year", "month": "Month"},
@@ -36,6 +40,8 @@ _STYLES = [
      "total": "РУБ сумма", "year": "Год", "month": "Месяц"},
     {"date": "date", "type": "type", "client": "client", "category": "category",
      "total": "total_rub", "year": "year", "month": "month"},
+    {"date": "DATE", "type": "TYPE", "client": "CLIENT", "category": "CATEGORY",
+     "total": "Total rub", "year": "YEAR", "month": "MONTH"},
 ]
 
 _TYPE_CASE = """CASE cast(l_linenumber % 4 AS int)
@@ -48,7 +54,11 @@ def _payload_sql(dialect: str) -> str:
     d = _messy_date(dialect)
     m = _messy_money(dialect)
     client = "concat('Client_', cast(l_partkey % 100 AS string))"
-    yr = "concat(' ', cast(year(l_shipdate) AS string))"   # leading space
+    # leading space; every 7th order carries unparseable garbage so the
+    # parse_failed_cols validation path is exercised (int parse of 'N/A'
+    # fails identically in both engines)
+    yr = ("CASE WHEN l_orderkey % 7 = 0 THEN 'N/A' "
+          "ELSE concat(' ', cast(year(l_shipdate) AS string)) END")
     mo = "concat(cast(month(l_shipdate) AS string), ',0')"  # decimal comma
     branches = []
     for i, ks in enumerate(_STYLES):
@@ -67,26 +77,54 @@ def _payload_sql(dialect: str) -> str:
             f"'\"', {total}, '}}')"
         )
         branches.append(f"WHEN {i} THEN {js}")
-    return f"CASE cast(l_orderkey % 3 AS int) {' '.join(branches)} END"
+    return f"CASE cast(l_orderkey % 4 AS int) {' '.join(branches)} END"
 
 
 def _staging_oracle() -> str:
-    cols = []
+    # Staged CTEs mirror normalize_staging's staging: raw extraction (with
+    # the normalized-arbitrary-key fallback) happens once per column in
+    # ``ext`` so the parser templates below reference a plain column instead
+    # of inlining the (large) fallback coalesce at every occurrence.
+    exts, parses, names, flags = [], [], [], []
     for name, typ, variants in STAGING_COLUMNS:
-        e = extract_sql("payload", variants, typ, dialect="duckdb")
+        exts.append(
+            f"{extract_raw_sql('payload', variants, dialect='duckdb')} AS __r_{name}"
+        )
+        names.append(name)
+        if typ == "str":
+            parses.append(f"__r_{name} AS {name}")
+            continue
         if typ == "money":
-            e = f"cast({e} AS double)"
-        cols.append(f"{e} AS {name}")
+            parses.append(
+                f"cast({money_sql(f'__r_{name}', dialect='duckdb')} AS double) AS {name}"
+            )
+        elif typ == "int":
+            parses.append(f"{int_sql(f'__r_{name}', dialect='duckdb')} AS {name}")
+        else:
+            parses.append(f"{ts_sql_duckdb(f'__r_{name}')} AS {name}")
+        parses.append(f"__r_{name}")
+        flags.append(
+            f"CASE WHEN __r_{name} IS NOT NULL AND trim(__r_{name}) <> '' "
+            f"AND {name} IS NULL THEN '{name}' END"
+        )
     fin = ", ".join(f"'{t}'" for t in FINANCIAL_TYPES)
+    failed = (
+        f"array_to_string(list_filter([{', '.join(flags)}], f -> f IS NOT NULL), ',')"
+    )
     return f"""
 WITH raw AS (
     SELECT l_orderkey, l_linenumber, {_payload_sql('duckdb')} AS payload
     FROM lineitem
 ),
+ext AS (
+    SELECT l_orderkey, l_linenumber, {', '.join(exts)} FROM raw
+),
 parsed AS (
-    SELECT l_orderkey, l_linenumber, {', '.join(cols)} FROM raw
+    SELECT l_orderkey, l_linenumber, {', '.join(parses)} FROM ext
 )
-SELECT *, (type IN ({fin})) AND total_rub IS NULL AS financial_missing_total
+SELECT l_orderkey, l_linenumber, {', '.join(names)},
+       (type IN ({fin})) AND total_rub IS NULL AS financial_missing_total,
+       {failed} AS parse_failed_cols
 FROM parsed
 """
 
@@ -113,4 +151,5 @@ def staging_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.col(name)
         proj.append((c.cast("double") if typ == "money" else c).alias(name))
     proj.append(F.col("financial_missing_total"))
+    proj.append(F.col("parse_failed_cols"))
     return out.select(*proj)

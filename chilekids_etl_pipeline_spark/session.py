@@ -18,6 +18,10 @@ RUNTIME_CONFS = {
     "spark.sql.caseSensitive": "true",
     "spark.sql.codegen.maxFields": "48",
     "spark.sql.adaptive.enabled": "true",
+    # Arbitrary-key header fallback builds a lowercase/space-stripped key map
+    # per payload; the reference's dict comprehension (transform.py:112) is
+    # last-wins on normalized-key collisions, so the map must be too.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 
@@ -70,6 +74,8 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
         # events.parquet carries TIMESTAMP(NANOS); read as long, converted
         # back to timestamp in sources.tables (Spark has no nanos type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Normalized-header fallback map is last-wins (see RUNTIME_CONFS).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     if not os.environ.get("MASTER") and not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")

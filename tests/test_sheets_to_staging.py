@@ -60,6 +60,47 @@ def test_sheet_values_through_staging(spark):
     assert r4.financial_missing_total is False  # 'Прочее' is not financial
 
 
+NOVEL_VALUES = [
+    # headers no variant list enumerates: resolvable only via the reference's
+    # normalized (lowercase, space-stripped) arbitrary-key fallback
+    # (transform.py:108-115)
+    ["DATE", "TYPE ", "CLIENT", "Total rub ", "MONTH", "pk"],
+    ["01.02.2023", "Income", "Acme", "1 234,56", "2", "n-1"],
+    ["2023-03-05", "Expense", "Globex", "not-a-number", "x", "n-2"],
+]
+
+
+def test_novel_cased_headers_resolve_via_fallback(spark):
+    records = values_to_records(NOVEL_VALUES)
+    raw = records_to_raw_df(spark, records)
+    rows = {r.id: r for r in normalize_staging(raw, "payload").collect()}
+
+    n1 = rows["n-1"]
+    assert str(n1.date) == "2023-02-01 00:00:00"
+    assert n1.type == "Income"
+    assert n1.client == "Acme"
+    assert float(n1.total_rub) == 1234.56
+    assert n1.month == 2
+    assert n1.parse_failed_cols == ""
+
+    # row-level validation: raw values present but unparseable are named
+    n2 = rows["n-2"]
+    assert n2.total_rub is None
+    assert n2.month is None
+    assert n2.financial_missing_total is True
+    assert set(n2.parse_failed_cols.split(",")) == {"total_rub", "month"}
+
+
+def test_exact_variant_wins_over_normalized_fallback(spark):
+    # reference probes every exact variant before any normalized key; a
+    # payload carrying both must resolve to the exact one
+    df = spark.createDataFrame(
+        [("1", '{"Total RUB": "100", "TOTAL rub": "999"}')], "id string, payload string"
+    )
+    row = normalize_staging(df, "payload").collect()[0]
+    assert float(row.total_rub) == 100.0
+
+
 MONEY_CHARS = st.sampled_from(list("0123456789.,$€₽()  -abc"))
 
 
