@@ -160,3 +160,44 @@ def test_asof_and_ivf_avoid_cartesian(spark):
     for name in ("asof_view_to_purchase", "ann_ivf_cosine"):
         plan = _plan(QS[name](spark, SF_SMALL))
         assert "CartesianProduct" not in plan, name
+
+
+def test_refresh_marts_idempotent_and_slice_rerun(spark, tmp_path):
+    """The composed mart-persistence recipe (reference marts.build_all +
+    campaign upsert, src/marts.py:29-45): full refresh is rerun-idempotent,
+    and an incremental single-month rerun swaps only that month's partition
+    while every other partition's files stay byte-identical on disk."""
+    import os
+
+    from chilekids_etl_pipeline_spark.plans.refresh import refresh_marts
+
+    out = str(tmp_path / "marts")
+    written = refresh_marts(spark, SF_SMALL, out)
+    assert set(written) == {
+        "financials_monthly", "expenses_by_category", "web_transactions",
+        "dim_clients", "dim_categories", "dim_vendors", "campaigns_summary",
+    }
+    fin_path = written["financials_monthly"]
+    before = {
+        tuple(r) for r in read_partitioned(spark, fin_path).collect()
+    }
+    months = sorted({t[3] for t in before})  # year_month is the partition col
+    assert len(months) >= 2
+    target, untouched = months[0], months[1]
+
+    def files(month):
+        d = f"{fin_path}/year_month={month}"
+        return {f: os.path.getmtime(f"{d}/{f}") for f in os.listdir(d)}
+
+    untouched_files = files(untouched)
+
+    # incremental rerun of ONE month — the keyed-upsert analog
+    refresh_marts(
+        spark, SF_SMALL, out,
+        only=["financials_monthly"],
+        slice_filter=f"year_month = '{target}'",
+    )
+    after = {tuple(r) for r in read_partitioned(spark, fin_path).collect()}
+    assert after == before  # same data: the rerun was idempotent
+    assert files(untouched) == untouched_files  # untouched partition files intact
+    assert files(target)  # target partition rewritten (exists, fresh files)
