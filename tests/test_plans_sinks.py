@@ -201,3 +201,24 @@ def test_refresh_marts_idempotent_and_slice_rerun(spark, tmp_path):
     assert after == before  # same data: the rerun was idempotent
     assert files(untouched) == untouched_files  # untouched partition files intact
     assert files(target)  # target partition rewritten (exists, fresh files)
+
+
+def test_tpch_shape_plans(spark):
+    """Decorrelated TPC-H shapes must never degenerate: no cartesian or
+    nested-loop joins in the subquery rewrites; the EXISTS/NOT EXISTS and
+    IN forms must plan as semi/anti joins."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q20_significant_share_suppliers",
+        "q21_waiting_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_orders",
+    ):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "LeftSemi" in _plan(QS["q4_order_priority"](spark, SF_SMALL))
+    # q22's scalar threshold is a 1-row broadcast (fine); the NOT EXISTS
+    # must be a LEFT ANTI with its correlated predicates pushed down
+    p22 = _plan(QS["q22_idle_rich_customers"](spark, SF_SMALL))
+    assert "LeftAnti" in p22
