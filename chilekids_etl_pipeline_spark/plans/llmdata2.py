@@ -28,12 +28,16 @@ from .registry import register
 _CHUNK = 10  # words per pseudo-paragraph (synthetic docs have no newlines)
 
 
-def _paras_sql(dialect: str) -> str:
+def _paras_sql(dialect: str, w: str | None = None) -> str:
     """Doc → array of word-chunks standing in for paragraphs. Real corpora
     split on newlines; the synthetic docs are single-line word soup, so
     fixed 10-word chunks play the paragraph role — the dedup machinery
-    (explode → corpus-wide hash count → join back) is identical."""
-    w = words_sql(dialect)
+    (explode → corpus-wide hash count → join back) is identical.
+
+    ``w`` may name a pre-staged words column: the template references the
+    words array several times, and inlining the split() at every occurrence
+    re-tokenizes per reference (measured ~5-10x on the 8-gram templates)."""
+    w = w or words_sql(dialect)
     if dialect == "spark":
         return (
             f"CASE WHEN size({w}) = 0 THEN array() ELSE "
@@ -72,9 +76,11 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the text), join back, count per doc. Docs keep their
     paragraph multiplicity; 'duplicated' means the paragraph appears in
     more than one document."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(words_sql("spark")).alias("w")
+    )
     paras = docs.select(
-        "doc_id", F.explode(F.expr(_paras_sql("spark"))).alias("para")
+        "doc_id", F.explode(F.expr(_paras_sql("spark", "w"))).alias("para")
     ).select("doc_id", F.md5("para").alias("ph"))
     corpus = paras.groupBy("ph").agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
@@ -132,8 +138,10 @@ def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — never a per-doc O(len²) array scan, so a 100k-word doc
     costs the same per token as a 100-word one. The max-frequency stat is
     a count, not an argmax, so tie-breaking can't diverge between engines."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select("doc_id", F.explode(F.expr(words_sql("spark"))).alias("w"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(words_sql("spark")).alias("warr")
+    )
+    words = docs.select("doc_id", F.explode("warr").alias("w"))
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
     per_doc = wc.groupBy("doc_id").agg(
         F.sum("n").alias("n_words"),
@@ -142,10 +150,8 @@ def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bigrams = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(shingles_sql("spark", words_sql("spark"), 2))
-        ).alias("g"),
-        (F.size(F.expr(words_sql("spark"))) - 1).alias("n_bigrams"),
+        F.explode(F.expr(shingles_sql("spark", "warr", 2))).alias("g"),
+        (F.size(F.col("warr")) - 1).alias("n_bigrams"),
     )
     bg = bigrams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_distinct_bigrams"),
@@ -299,12 +305,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set is an equi-join side (broadcastable — eval suites are MBs
     against TBs of corpus), so the screen is one broadcast hash join plus
     a per-doc aggregation; candidate work never exceeds grams × 1."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(words_sql("spark")).alias("warr")
+    )
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(shingles_sql("spark", words_sql("spark"), _GRAM_N))
-        ).alias("g"),
+        F.explode(F.expr(shingles_sql("spark", "warr", _GRAM_N))).alias("g"),
     )
     bench = (
         grams.filter(F.expr("cast(doc_id AS int) % 97 = 0"))
