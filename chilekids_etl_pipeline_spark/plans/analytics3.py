@@ -1,0 +1,93 @@
+"""Round-2 analytics: bucketed interval (range) join and vector aggregation.
+
+Both are shapes Spark lacks as primitives and the reference computes
+row-at-a-time or not at all; here each is expressed as a composition of
+equi-join/aggregation primitives so Catalyst plans them shuffle-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# interval join, bucketed: errors in the 15 minutes before each purchase
+
+_BUCKET_S = 900  # bucket width == window width → a window spans ≤ 2 buckets
+
+
+_RANGE_ORACLE = """
+SELECT p.event_id, cast(count(e.ets) AS bigint) AS n_errors_15m
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT ts AS ets FROM events WHERE event_type = 'error') e
+  ON e.ets >= p.ts - INTERVAL 15 MINUTE AND e.ets < p.ts
+GROUP BY p.event_id
+"""
+
+
+@register("range_join_purchase_errors", oracle=_RANGE_ORACLE)
+def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without an equi key — the shape that naively plans as
+    a nested-loop cross product. The scale recipe: bucket the right side
+    by the window width (15 min), explode each probe to its two candidate
+    buckets, equi-join on bucket, apply the exact range predicate inside
+    the join condition. Work is probes x events-per-bucket instead of
+    probes x events; the oracle states the plain non-equi join."""
+    ev = load_table(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("ts").alias("ets"))
+        .withColumn("bkt", F.floor(F.unix_timestamp("ets") / _BUCKET_S))
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts")
+        .withColumn("b0", F.floor(F.unix_timestamp("ts") / _BUCKET_S))
+        .withColumn("bkt", F.explode(F.array(F.col("b0"), F.col("b0") - 1)))
+    )
+    j = pur.join(
+        err,
+        (pur.bkt == err.bkt)
+        & (err.ets >= pur.ts - F.expr("INTERVAL 15 MINUTES"))
+        & (err.ets < pur.ts),
+        "left",
+    )
+    return j.groupBy("event_id").agg(F.count("ets").alias("n_errors_15m"))
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (vector aggregation, long-form layout)
+
+
+_CENTROID_ORACLE = """
+WITH dims AS (
+    SELECT label,
+           unnest(range(0, len(embedding))) AS pos,
+           unnest(embedding) AS v
+    FROM embeddings
+)
+SELECT label, pos, round(avg(v), 6) AS c, count(*) AS n_vecs
+FROM dims
+GROUP BY label, pos
+"""
+
+
+@register("embedding_centroids", oracle=_CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the building block of
+    IVF training, class prototypes, and drift monitoring. posexplode to
+    (label, dim, value) and aggregate: one shuffle on (label, dim) with
+    map-side partial sums, linear in vectors x dims — never a
+    driver-side numpy reduce. Long-form output (label, pos, c) is the
+    layout that stays queryable at any dimensionality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return dims.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("c"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

@@ -222,3 +222,11 @@ def test_tpch_shape_plans(spark):
     # must be a LEFT ANTI with its correlated predicates pushed down
     p22 = _plan(QS["q22_idle_rich_customers"](spark, SF_SMALL))
     assert "LeftAnti" in p22
+
+
+def test_range_join_is_bucketed_not_nested_loop(spark):
+    """The interval join must plan as a bucket equi-join (SortMerge/Hash),
+    never the nested-loop cross product a naive non-equi join produces."""
+    plan = _plan(QS["range_join_purchase_errors"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
