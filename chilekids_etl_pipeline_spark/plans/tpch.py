@@ -489,3 +489,49 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier(s) by revenue — view + scalar-max equality
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * (1 - cast(l_discount AS decimal(18,2)))) AS double)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view computed once, the scalar-max
+    subquery decorrelated into an unpartitioned window-max over the
+    (small, already-aggregated) view — exact ties kept, unlike LIMIT 1.
+    Revenue sums are exact decimals so the equality compare is portable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    best = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(broadcast(s), best.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
