@@ -53,6 +53,9 @@ EXTRA = [
     "paragraph_dedup",
     "gopher_quality_signals",
     "contamination_check",
+    "range_join_purchase_errors",
+    "embedding_centroids",
+    "q15_top_supplier",
 ]
 
 

@@ -604,7 +604,13 @@ FROM (
 @register("knn_topk_cosine", oracle=_KNN_ORACLE)
 def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for every 50th vector — the ANN
-    baseline. Query side broadcasts; corpus scans once."""
+    baseline. Query side broadcasts; corpus scans once.
+
+    Deliberately O(corpus x queries): exactness is its purpose (recall
+    ground truth for the ANN paths). Bound: the query side must fit a
+    broadcast (~queries x dim x 8 B — thousands of queries, not millions);
+    past that, or for corpus-vs-corpus search, use ann_lsh_cosine /
+    ann_ivf_cosine, which bound pairwise work to bucket/cell collisions."""
     base, _ = _vecs_spark(spark, sf_dir)
     queries = base.filter(F.col("vec_id") % 50 == 0)
     return topk_cosine(queries, base, k=5)

@@ -401,3 +401,47 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.when(F.col("rk") <= _DOMAIN_CAP, 1).otherwise(0)).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary: global top-K terms (tokenizer vocab seed)
+
+_VOCAB_K = 50
+
+_VOCAB_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest({words_sql('duckdb')}) AS w FROM documents
+),
+counts AS (
+    SELECT w, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM words GROUP BY w
+)
+SELECT w, n, n_docs,
+       row_number() OVER (ORDER BY n DESC, w) AS rank
+FROM counts
+ORDER BY n DESC, w
+LIMIT {_VOCAB_K}
+"""
+
+
+@register("vocab_top_terms", oracle=_VOCAB_ORACLE)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K corpus terms with document frequency — the vocabulary
+    seed of a tokenizer build. Two-level aggregation (map-side partial
+    count per word, then the global top-K as a distributed TakeOrdered:
+    each partition ships only its local top K). The tie-break is total
+    (count desc, then word), so the cut is deterministic in any engine —
+    a bare LIMIT over ties would not be."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(words_sql("spark")).alias("warr")
+    )
+    words = docs.select("doc_id", F.explode("warr").alias("w"))
+    counts = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("n").desc(), "w").limit(_VOCAB_K)
+    w = Window.orderBy(F.col("n").desc(), "w")
+    return top.withColumn("rank", F.row_number().over(w))
