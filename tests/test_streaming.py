@@ -133,3 +133,76 @@ def test_streaming_tumbling_window_matches_batch(spark, event_drops):
     )
     want = {r.window_start: r.n for r in batch}
     assert got == want
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Late-data semantics: an event arriving after the watermark has
+    passed its window must be dropped from the append-mode windowed
+    aggregate. Two availableNow runs share a checkpoint, so the second run
+    restores the first run's watermark — the restart-safe bounded-state
+    behavior a batch recompute (which would count the late event) lacks."""
+    import json as _json
+
+    data = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(data)
+    base = "2024-01-01T"
+
+    def drop(name, rows):
+        with open(f"{data}/{name}", "w") as f:
+            for ts, eid in rows:
+                f.write(
+                    _json.dumps(
+                        {"event_id": eid, "ts": f"{base}{ts}", "user_id": 1,
+                         "event_type": "view", "value": 1.0, "props": "{}"}
+                    ) + "\n"
+                )
+
+    from chilekids_etl_pipeline_spark.streaming.incremental import read_event_stream
+
+    out = str(tmp_path / "out")
+
+    def run(_query_name):
+        stream = read_event_stream(spark, data)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            str(r.window_start): r.n
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # run 1: two hour-10 events + an hour-12 event -> watermark ends at
+    # 11:30, finalizing and emitting the hour-10 window with n=2
+    drop("drop_0.json", [("10:05:00", 1), ("10:20:00", 2), ("12:00:00", 3)])
+    got1 = run("t_late_w1")
+    assert got1.get("2024-01-01 10:00:00") == 2
+
+    # run 2 (same checkpoint -> watermark restored at 11:30): a LATE
+    # hour-10 event must be dropped — not merged, not re-emitted — while
+    # the hour-14 event advances the watermark and finalizes hour-12
+    drop("drop_1.json", [("10:40:00", 4), ("14:00:00", 5)])
+    run("t_late_w2")
+    rows = [
+        (str(r.window_start), r.n) for r in spark.read.parquet(out).collect()
+    ]
+    # the hour-10 window still reads n=2 from run 1, exactly once: the late
+    # 10:40 arrival was dropped — not merged (no n=3) and not re-emitted
+    # (no second hour-10 row); hour-12 was finalized by the watermark
+    # advancing to 13:30
+    assert sorted(n for w, n in rows if w == "2024-01-01 10:00:00") == [2]
+    assert sorted(n for w, n in rows if w == "2024-01-01 12:00:00") == [1]
