@@ -143,13 +143,20 @@ def resize_media(media: DataFrame, width: int, height: int, fake: bool = True) -
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
-def frame_sample_plan(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+def frame_sample_plan(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Deterministic 'frame sampling' over the opaque payload: byte offsets
     every_n_bytes apart (capped). Pure column expressions — shows how a
-    video-frame sampler's offset plan is computed without decoding."""
+    video-frame sampler's offset plan is computed without decoding.
+    ``keep_cols`` carries extra metadata columns through."""
     return media.select(
         "doc_id",
         "media_type",
+        *(keep_cols or []),
         F.expr(
             # byte_len = 0 would make sequence(0, -1, step) an illegal range
             # and crash the job on empty media rows — emit array() instead.

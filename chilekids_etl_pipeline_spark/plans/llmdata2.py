@@ -445,3 +445,56 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "w").limit(_VOCAB_K)
     w = Window.orderBy(F.col("n").desc(), "w")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# multimodal frame-sampling plan, oracle-checked end to end
+
+_FRAME_STEP = 64
+_FRAME_MAX = 8
+
+
+_FRAME_ORACLE = f"""
+WITH media AS (
+    SELECT doc_id,
+           CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_hash
+    FROM documents
+)
+SELECT doc_id, media_type, cast(byte_len AS bigint) AS byte_len, content_hash,
+       cast(CASE WHEN byte_len <= 0 THEN 0
+                 ELSE least(byte_len - 1, {(_FRAME_MAX - 1) * _FRAME_STEP})
+                      // {_FRAME_STEP} + 1 END AS bigint) AS n_frames,
+       cast(CASE WHEN byte_len <= 0 THEN NULL
+                 ELSE (least(byte_len - 1, {(_FRAME_MAX - 1) * _FRAME_STEP})
+                       // {_FRAME_STEP}) * {_FRAME_STEP} END AS bigint)
+           AS last_offset
+FROM media
+"""
+
+
+@register("media_frame_plan", oracle=_FRAME_ORACLE)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sampling plumbing end to end: documents wrapped as opaque
+    binary media (operators/multimodal.py to_media_frame), the frame-offset
+    plan computed as pure column expressions, and the metadata (byte_len,
+    content hash) oracle-verified. The decode itself stays a stubbed
+    mapInPandas (no codecs in the runtime) — this proves everything around
+    it: schema, deterministic offsets, empty-payload guard."""
+    from ..operators.multimodal import frame_sample_plan, to_media_frame
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = to_media_frame(docs)
+    fs = frame_sample_plan(
+        media, _FRAME_STEP, _FRAME_MAX, keep_cols=["byte_len", "content_hash"]
+    )
+    return fs.select(
+        "doc_id",
+        "media_type",
+        F.col("byte_len").cast("bigint"),
+        "content_hash",
+        F.size("frame_offsets").cast("bigint").alias("n_frames"),
+        F.expr("try_element_at(frame_offsets, -1)").cast("bigint").alias("last_offset"),
+    )
