@@ -74,8 +74,12 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> 
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
         .withColumn(
+            # raw double, not round(): both engines derive the identical
+            # IEEE quotient, but SQL round() tie-breaks half-way values
+            # differently (see plans/llmdata.py note); the harness rounds
+            # uniformly on compare.
             "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
@@ -85,26 +89,46 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> 
 def minhash_bands(
     sh: DataFrame, num_hashes: int = 12, band_size: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, band, band_sig): lexicographic-min md5 per seeded permutation,
+    """(doc_id, band, band_sig): Carter-Wegman min-hash per permutation,
     grouped into bands of ``band_size`` and re-hashed to a band signature.
 
-    All ``num_hashes`` permutations are min-aggregated as separate columns of
-    ONE groupBy(doc_id) — map-side partial aggregation shrinks each partition
-    to one signature row per doc before the only shuffle. (The naive
-    explode-by-seed form shuffles num_hashes× the shingle volume and needs a
-    second aggregation; measured ~2× slower at sf0.1 and far worse at scale.)
+    The shingle is digested ONCE (md5 → two bigints h1, h2); permutation
+    ``s`` is the pairwise-independent family h1 + s·h2 evaluated as 64-bit
+    arithmetic — the standard Broder construction. Versus hashing the
+    shingle once per seed, the per-shingle cost drops from num_hashes
+    digests to one digest + num_hashes adds, which at corpus scale is the
+    difference between hours and minutes of CPU. Bounds: h1 < 2^60
+    (15 hex digits), h2 < 2^52 (13 hex digits), so h1 + 11·h2 < 2^61 —
+    no 64-bit overflow in either engine (ANSI-safe).
+
+    All ``num_hashes`` permutations are min-aggregated as separate columns
+    of ONE groupBy(doc_id) — map-side partial aggregation shrinks each
+    partition to one signature row per doc before the only shuffle. (The
+    naive explode-by-seed form shuffles num_hashes× the shingle volume and
+    needs a second aggregation; measured ~2× slower at sf0.1 and far worse
+    at scale.)
     """
+    hashed = sh.withColumn("__h", F.md5("shingle")).withColumns(
+        {
+            "__h1": F.expr("cast(conv(substr(__h, 1, 15), 16, 10) AS bigint)"),
+            "__h2": F.expr("cast(conv(substr(__h, 16, 13), 16, 10) AS bigint)"),
+        }
+    )
     mins = [
-        F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+        F.min(F.col("__h1") + F.lit(s) * F.col("__h2")).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
+    sig = hashed.groupBy(id_col).agg(*mins)
     bands = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
                 )
             ).alias("band_sig"),
         )
@@ -144,8 +168,12 @@ def verify_jaccard(cand: DataFrame, sh: DataFrame, min_jaccard: float, id_col: s
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
         .withColumn(
+            # raw double, not round(): both engines derive the identical
+            # IEEE quotient, but SQL round() tie-breaks half-way values
+            # differently (see plans/llmdata.py note); the harness rounds
+            # uniformly on compare.
             "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")

@@ -155,11 +155,11 @@ common AS (
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
 )
-SELECT doc_a, doc_b, round(c / (ca.n + cb.n - c), 6) AS jaccard
+SELECT doc_a, doc_b, c / (ca.n + cb.n - c) AS jaccard
 FROM common
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
-WHERE round(c / (ca.n + cb.n - c), 6) >= 0.5
+WHERE c / (ca.n + cb.n - c) >= 0.5
 """
 
 
@@ -179,14 +179,20 @@ _MINHASH_ORACLE = f"""
 WITH {_DOCS_AUG_DUCK},
 wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
 sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+hd AS (
+    SELECT doc_id,
+           cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS h1,
+           cast(('0x' || substr(md5(shingle), 16, 13)) AS bigint) AS h2
+    FROM sh
+),
 mh AS (
-    SELECT doc_id, seed, min(md5(concat(seed, '|', shingle))) AS mh
-    FROM sh CROSS JOIN range(0, 12) t(seed)
+    SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+    FROM hd CROSS JOIN range(0, 12) t(seed)
     GROUP BY doc_id, seed
 ),
 bands AS (
     SELECT doc_id, seed // 3 AS band,
-           md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           md5(string_agg(cast(mh AS varchar), '|' ORDER BY seed)) AS band_sig
     FROM mh GROUP BY doc_id, seed // 3
 ),
 cand AS (
@@ -203,18 +209,19 @@ common AS (
     JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
     GROUP BY c.doc_a, c.doc_b
 )
-SELECT doc_a, doc_b, round(c / (ca.n + cb.n - c), 6) AS jaccard
+SELECT doc_a, doc_b, c / (ca.n + cb.n - c) AS jaccard
 FROM common
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
-WHERE round(c / (ca.n + cb.n - c), 6) >= 0.5
+WHERE c / (ca.n + cb.n - c) >= 0.5
 """
 
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (12 perms as lexicographic-min md5) → 4 bands × 3 → bucket
-    join for candidates → exact-Jaccard verify ≥ 0.5. The LSH band join is
+    """MinHash (12 Carter-Wegman permutations h1 + s·h2 over one md5 digest
+    per shingle) → 4 bands × 3 → bucket join for candidates →
+    exact-Jaccard verify ≥ 0.5. The LSH band join is
     what makes near-dup detection feasible on a 100 TB corpus: signatures
     are ~100 bytes/doc and only bucket collisions are verified."""
     # The shingle table feeds signature generation AND both sides of the
@@ -268,14 +275,20 @@ _INCR_DEDUP_ORACLE = f"""
 WITH {_DOCS_AUG_DUCK.lstrip()},
 wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
 sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+hd AS (
+    SELECT doc_id,
+           cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS h1,
+           cast(('0x' || substr(md5(shingle), 16, 13)) AS bigint) AS h2
+    FROM sh
+),
 mh AS (
-    SELECT doc_id, seed, min(md5(concat(seed, '|', shingle))) AS mh
-    FROM sh CROSS JOIN range(0, 12) t(seed)
+    SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+    FROM hd CROSS JOIN range(0, 12) t(seed)
     GROUP BY doc_id, seed
 ),
 bands AS (
     SELECT doc_id, seed // 3 AS band,
-           md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           md5(string_agg(cast(mh AS varchar), '|' ORDER BY seed)) AS band_sig
     FROM mh GROUP BY doc_id, seed // 3
 ),
 cand AS (
@@ -292,11 +305,11 @@ common AS (
     JOIN sh sb ON sb.doc_id = cd.corpus_id AND sb.shingle = sa.shingle
     GROUP BY cd.new_id, cd.corpus_id
 )
-SELECT new_id, corpus_id, round(c / (ca.n + cb.n - c), 6) AS jaccard
+SELECT new_id, corpus_id, c / (ca.n + cb.n - c) AS jaccard
 FROM common
 JOIN counts ca ON ca.doc_id = new_id
 JOIN counts cb ON cb.doc_id = corpus_id
-WHERE round(c / (ca.n + cb.n - c), 6) >= 0.5
+WHERE c / (ca.n + cb.n - c) >= 0.5
 """
 
 
@@ -797,15 +810,20 @@ WITH feats AS (
           FROM documents)
 )
 SELECT doc_id, n_chars, n_words,
-       round(wl_sum / n_words, 6) AS avg_word_len,
-       round(stop_hits / cast(n_words AS double), 6) AS stopword_ratio,
-       round(punct_chars / cast(n_chars AS double), 6) AS punct_ratio,
-       round(least(n_words / 50.0, 1.0) * 0.5
+       wl_sum / cast(n_words AS double) AS avg_word_len,
+       stop_hits / cast(n_words AS double) AS stopword_ratio,
+       punct_chars / cast(n_chars AS double) AS punct_ratio,
+       least(n_words / 50.0, 1.0) * 0.5
              + (stop_hits / cast(n_words AS double)) * 0.3
-             + least((wl_sum / cast(n_words AS double)) / 8.0, 1.0) * 0.2, 6)
+             + least((wl_sum / cast(n_words AS double)) / 8.0, 1.0) * 0.2
            AS quality_score
 FROM feats
 """
+# NOTE: ratios are emitted as RAW doubles, not SQL-round()ed: both engines
+# compute bit-identical IEEE quotients, but their round() implementations
+# disagree on exact half-way ties (Spark rounds the shortest decimal repr
+# HALF_UP, DuckDB rounds the binary value), which surfaced as a last-digit
+# mismatch at sf0.1. The compare harness rounds both sides uniformly.
 
 
 @register("text_quality", oracle=_quality_sql("duckdb"))

@@ -121,9 +121,9 @@ bg AS (
 )
 SELECT p.doc_id,
        p.n_words,
-       round(1.0 - p.n_distinct / p.n_words, 4) AS word_rep_ratio,
-       round(p.top_n / cast(p.n_words AS double), 4) AS top_word_frac,
-       round(1.0 - b.n_distinct_bigrams / cast(b.n_bigrams AS double), 4)
+       1.0 - p.n_distinct / p.n_words AS word_rep_ratio,
+       p.top_n / cast(p.n_words AS double) AS top_word_frac,
+       1.0 - b.n_distinct_bigrams / cast(b.n_bigrams AS double)
            AS dup_bigram_frac
 FROM per_doc p JOIN bg b ON p.doc_id = b.doc_id
 WHERE p.n_words >= 2
@@ -163,14 +163,12 @@ def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 4).alias(
-                "word_rep_ratio"
-            ),
-            F.round(F.col("top_n") / F.col("n_words").cast("double"), 4).alias(
-                "top_word_frac"
-            ),
-            F.round(
-                1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double"), 4
+            # raw doubles, not round(): identical IEEE quotients in both
+            # engines; SQL round() tie-breaks half-way values differently
+            (1.0 - F.col("n_distinct") / F.col("n_words")).alias("word_rep_ratio"),
+            (F.col("top_n") / F.col("n_words").cast("double")).alias("top_word_frac"),
+            (
+                1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double")
             ).alias("dup_bigram_frac"),
         )
     )
@@ -292,7 +290,7 @@ scored AS (
     GROUP BY d.doc_id
 )
 SELECT doc_id, n_grams, n_hits,
-       round(n_hits / cast(n_grams AS double), 4) AS overlap_frac,
+       n_hits / cast(n_grams AS double) AS overlap_frac,
        n_hits * 10 > n_grams AS contaminated
 FROM scored
 """
@@ -330,9 +328,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_grams").cast("double"), 4).alias(
-            "overlap_frac"
-        ),
+        (F.col("n_hits") / F.col("n_grams").cast("double")).alias("overlap_frac"),
         (F.col("n_hits") * 10 > F.col("n_grams")).alias("contaminated"),
     )
 

@@ -36,7 +36,7 @@ WITH ps AS (
     FROM lineitem GROUP BY 1, 2
 )
 SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
-       round(ps.ps_supplycost, 4) AS min_cost
+       ps.ps_supplycost AS min_cost
 FROM part p
 JOIN ps ON p.p_partkey = ps.ps_partkey
 JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
@@ -83,13 +83,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    # min_cost emitted as the RAW double: both engines derive bit-identical
+    # IEEE quotients, but SQL round() tie-breaks differently on half-way
+    # values (Spark: shortest-decimal HALF_UP; DuckDB: binary) — observed
+    # as a 4th-decimal mismatch at sf0.1. The harness rounds uniformly.
     return best.join(broadcast(p), F.col("ps_partkey") == F.col("p_partkey")).select(
         "s_acctbal",
         "s_name",
         "n_name",
         "p_partkey",
         "p_type",
-        F.round("ps_supplycost", 4).alias("min_cost"),
+        F.col("ps_supplycost").alias("min_cost"),
     )
 
 
