@@ -494,3 +494,68 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("frame_offsets").cast("bigint").alias("n_frames"),
         F.expr("try_element_at(frame_offsets, -1)").cast("bigint").alias("last_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: concat-and-chunk docs into fixed token bins
+
+_BIN_TOKENS = 256
+
+
+_PACKING_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, len({words_sql('duckdb')}) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, source, n_tokens,
+           cast(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS bigint) AS start_offset
+    FROM toks
+)
+SELECT doc_id, source, cast(n_tokens AS bigint) AS n_tokens, start_offset,
+       start_offset // {_BIN_TOKENS} AS start_bin,
+       CASE WHEN n_tokens = 0 THEN start_offset // {_BIN_TOKENS}
+            ELSE (start_offset + n_tokens - 1) // {_BIN_TOKENS} END AS end_bin
+FROM packed
+"""
+
+
+@register("sequence_packing", oracle=_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, concat-and-chunk style: within each
+    source stream, documents are laid end-to-end in deterministic doc_id
+    order and cut into fixed {bin}-token bins (docs may span bins — the
+    standard packing used for LLM pretraining batches). The layout is one
+    window prefix-sum per source partition: fully distributed, one shuffle
+    on source, no sequential driver loop — and every doc learns its
+    start/end bin so a downstream writer can route chunks."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.expr(words_sql("spark"))).alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint"),
+        "start_offset",
+        F.floor(F.col("start_offset") / _BIN_TOKENS).alias("start_bin"),
+        F.when(
+            F.col("n_tokens") == 0, F.floor(F.col("start_offset") / _BIN_TOKENS)
+        )
+        .otherwise(
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / _BIN_TOKENS)
+        )
+        .alias("end_bin"),
+    )
