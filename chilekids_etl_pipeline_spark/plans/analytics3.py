@@ -91,3 +91,61 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("c"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-type z-score outliers (anomaly detection over exact moment sums)
+
+
+_OUTLIER_ORACLE = """
+WITH stats AS (
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(value AS decimal(10,2))) AS double) AS s1,
+           cast(sum(cast(value AS decimal(10,2))
+                    * cast(value AS decimal(10,2))) AS double) AS s2
+    FROM events GROUP BY event_type
+),
+m AS (
+    SELECT event_type, n, s1 / n AS mean,
+           sqrt((s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1)) AS std
+    FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean) / m.std AS z
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE abs((e.value - m.mean) / m.std) > 3.0
+"""
+
+
+@register("events_value_outliers", oracle=_OUTLIER_ORACLE)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: per-type z-score outliers (|z| > 3). The moment
+    sums are exact decimals (order-independent, merge-safe — the form that
+    stays correct under any partial-aggregation schedule), converted to
+    double only for the final mean/std; sqrt is IEEE-correctly-rounded so
+    both engines derive identical z values. One aggregation + one broadcast
+    join of the tiny per-type stats back onto the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(10,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    m = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))
+            * F.col("n")
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
