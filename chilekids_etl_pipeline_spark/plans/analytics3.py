@@ -149,3 +149,59 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 3.0)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+# ---------------------------------------------------------------------------
+# trailing 7-day rolling revenue (RANGE window frame over event time)
+
+
+_ROLLING_ORACLE = """
+WITH daily AS (
+    SELECT cast(date_diff('day', DATE '1995-01-01', o_orderdate) AS bigint) AS day_no,
+           min(cast(o_orderdate AS date)) AS day,
+           sum(cast(o_totalprice AS decimal(18,2))) AS revenue_dec,
+           count(*) AS n_orders
+    FROM orders GROUP BY day_no
+)
+SELECT day, cast(revenue_dec AS double) AS revenue, n_orders,
+       cast(sum(revenue_dec) OVER (
+           ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS double) AS revenue_7d,
+       cast(sum(n_orders) OVER (
+           ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS bigint) AS orders_7d
+FROM daily
+"""
+
+
+@register("rolling_7d_revenue", oracle=_ROLLING_ORACLE)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling revenue — a RANGE window frame keyed on event
+    time (day number), which unlike a ROWS frame stays correct across gaps
+    in the calendar. Daily pre-aggregation first, and the rolling sums run
+    on exact decimals — window engines associate frame sums differently
+    (segment trees vs incremental add/remove), so double sums inside a
+    frame are NOT portable; decimals are, cast to double only on output.
+    An unpartitioned time-ordered window is fine here because the daily
+    rollup is small; at finer granularity it would partition by month and
+    stitch boundaries."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("day_no")
+    ).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        "n_orders",
+        F.sum("revenue_dec").over(w).cast("double").alias("revenue_7d"),
+        F.sum("n_orders").over(w).cast("bigint").alias("orders_7d"),
+    )
