@@ -539,3 +539,236 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(broadcast(s), best.supplier_no == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations (dual-dimension fact join)
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       cast(sum(volume) AS double) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           cast(l.l_extendedprice AS decimal(18,2))
+               * (1 - cast(l.l_discount AS decimal(18,2))) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_nation_volume", oracle=_Q7_ORACLE)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the fact table joins two different dimension chains
+    (supplier-nation and customer-nation) with a symmetric nation-pair
+    disjunction that only resolves post-join. Both nation dims broadcast;
+    the date filter pushes into the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"),
+                 vol.alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share (conditional share of a grouped decimal sum)
+
+
+_Q8_ORACLE = """
+SELECT o_year,
+       cast(cast(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                          ELSE cast(0 AS decimal(18,2)) END) AS double)
+            / cast(sum(volume) AS double) AS double) AS mkt_share
+FROM (
+    SELECT year(o.o_orderdate) AS o_year,
+           cast(l.l_extendedprice AS decimal(18,2))
+               * (1 - cast(l.l_discount AS decimal(18,2))) AS volume,
+           n1.n_name AS nation
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+) nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of yearly volume — conditional
+    decimal sum over total decimal sum, divided once as doubles (exact
+    numerators/denominators, portable quotient). Part/supplier/nation
+    broadcast; the selective p_type filter prunes the fact rows through
+    the broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate")
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    j = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"),
+                F.col("n_name").alias("nation"))
+    )
+    return j.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product profit by nation and year (derived cost, no partsupp)
+
+
+_Q9_ORACLE = """
+SELECT nation, o_year, cast(sum(amount) AS double) AS sum_profit
+FROM (
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           cast(l.l_extendedprice AS decimal(18,2))
+               * (1 - cast(l.l_discount AS decimal(18,2)))
+           - cast(p.p_retailprice AS decimal(18,2))
+               * cast(l.l_quantity AS decimal(18,2))
+               * cast(0.5 AS decimal(18,2)) AS amount
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation-year over a part-name LIKE filter.
+    partsupp doesn't exist in this schema, so supply cost derives from
+    p_retailprice (half price per unit) — the join topology and the
+    decimal profit arithmetic are the Q9 structure. All dims broadcast;
+    one shuffle for the final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(18,2)"
+    ) * F.lit(0.5).cast("decimal(18,2)")
+    j = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.select(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue per customer (threshold, not LIMIT)
+
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       cast(sum(cast(l.l_extendedprice AS decimal(18,2))
+                * (1 - cast(l.l_discount AS decimal(18,2)))) AS double) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+HAVING sum(cast(l.l_extendedprice AS decimal(18,2))
+           * (1 - cast(l.l_discount AS decimal(18,2)))) > 8000
+"""
+
+
+@register("q10_returned_revenue", oracle=_Q10_ORACLE)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items per customer in a
+    quarter. A deterministic HAVING threshold replaces Q10's LIMIT 20 —
+    top-N over tied doubles is not portable, a decimal threshold is. The
+    returnflag and date filters push into their scans; nation broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(rev).alias("rev_dec")
+    )
+    return agg.filter(F.col("rev_dec") > 8000).select(
+        "c_custkey", "c_name", "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )
