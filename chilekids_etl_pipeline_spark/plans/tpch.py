@@ -8,9 +8,11 @@ part × supplier) — the *shapes* being proven are the TPC-H ones:
   decorrelated into a per-part min + equi-join back.
 - Q20: nested semi-join — suppliers having supplied a significant share
   of some part's volume, pushed through IN/LEFT SEMI.
-- Q4 / Q12 / Q14 / Q17 / Q18 / Q19 / Q21 / Q22 counterparts live here too;
-  each states the canonical subquery form in the DuckDB oracle and the
-  decorrelated/join form in Spark, proving they compute the same thing.
+- Q4 / Q7 / Q8 / Q9 / Q10 / Q12 / Q14 / Q15 / Q17 / Q18 / Q19 / Q21 / Q22
+  counterparts live here too; each states the canonical subquery form in
+  the DuckDB oracle and the decorrelated/join form in Spark, proving they
+  compute the same thing. Together with Q1/Q3/Q5/Q6/Q13 in the analytics
+  modules, every TPC-H query expressible without partsupp is covered.
 
 Scale notes: every decorrelation shuffles on the correlation key exactly
 once; dimension sides broadcast; no shape degenerates to a cartesian.
