@@ -230,3 +230,27 @@ def test_range_join_is_bucketed_not_nested_loop(spark):
     plan = _plan(QS["range_join_purchase_errors"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round2_query_plans(spark):
+    """Round-2 additions keep the plan contract: dimension chains
+    broadcast, no shape degenerates to a cartesian/nested-loop join
+    (q22 and the scalar-stat broadcasts legitimately use a 1-row
+    BroadcastNestedLoopJoin and are asserted separately above)."""
+    for name in (
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_revenue",
+        "q15_top_supplier",
+        "events_value_outliers",
+        "rolling_7d_revenue",
+        "sequence_packing",
+        "paragraph_dedup",
+        "contamination_check",
+    ):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    for name in ("q7_nation_volume", "q8_market_share", "q9_product_profit"):
+        assert "BroadcastHashJoin" in _plan(QS[name](spark, SF_SMALL)), name
