@@ -18,13 +18,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 @dataclass
 class Entry:
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    # DuckDB SQL, a zero-arg callable producing it (for oracles composed
+    # from other entries' SQL, resolved only after every module has
+    # registered), or None → rows-only check.
+    oracle: str | Callable[[], str] | None
 
 
 QUERIES: dict[str, Entry] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             from ..session import ensure_session_confs
@@ -44,4 +47,8 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in QUERIES.items() if e.oracle is not None}
+    return {
+        name: e.oracle() if callable(e.oracle) else e.oracle
+        for name, e in QUERIES.items()
+        if e.oracle is not None
+    }

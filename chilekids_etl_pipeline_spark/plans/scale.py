@@ -157,6 +157,9 @@ _MART_NAMES = [
 
 
 def _build_all_oracle() -> str:
+    # Resolved lazily (registry supports callable oracles) so this module
+    # can register before marts.py does — the composed SQL only needs the
+    # marts entries to exist by the time oracle_sql() is called.
     from .registry import QUERIES
 
     parts = [
@@ -166,7 +169,7 @@ def _build_all_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@register("build_all_marts", oracle=_build_all_oracle())
+@register("build_all_marts", oracle=_build_all_oracle)
 def build_all_marts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ``marts.build_all`` (src/marts.py:45): refresh every
     mart in one call. Here each mart is a lazy plan unioned into a single

@@ -26,7 +26,6 @@ from ..operators.staging import (
     normalize_staging,
 )
 from ..sources.tables import load_table
-from .elt import _messy_date, _messy_money
 from .registry import register
 
 # Header dialect per row (l_orderkey % 4): English, Russian, snake_case,
@@ -51,6 +50,10 @@ _TYPE_CASE = """CASE cast(l_linenumber % 4 AS int)
 
 def _payload_sql(dialect: str) -> str:
     """Build the messy JSON payload string, identical in both dialects."""
+    # Imported lazily so loading this module does not register elt's
+    # queries first (registry insertion order matters to external tooling).
+    from .elt import _messy_date, _messy_money
+
     d = _messy_date(dialect)
     m = _messy_money(dialect)
     client = "concat('Client_', cast(l_partkey % 100 AS string))"
@@ -129,7 +132,7 @@ FROM parsed
 """
 
 
-@register("staging_records", oracle=_staging_oracle())
+@register("staging_records", oracle=_staging_oracle)
 def staging_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full payload→staging.records transform
     (src/transform.py:123-197) as one wide codegen projection."""
