@@ -173,27 +173,56 @@ def normalize_staging(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     schema = ", ".join(f"`{k}`:string" for k in keys)
     # __nm: the reference's normalized-arbitrary-key lookup
     # ({k.lower().replace(' ',''): v}, transform.py:112) as a second map-typed
-    # parse of the same payload. Built once per row; probed only when every
-    # exact struct probe missed (coalesce short-circuits), so novel-cased
-    # headers cost nothing on well-formed rows beyond the one extra parse.
-    # mapKeyDedupPolicy=LAST_WIN (session.py) gives the dict-comprehension
-    # last-wins on normalized collisions.
+    # parse of the same payload — GATED on the payload actually carrying a
+    # key outside the enumerated header set (__need, one cheap keys-only
+    # parse). Well-formed rows (every key an enumerated variant) skip the
+    # map parse entirely; cross-column normalized aliases among ENUMERATED
+    # keys (e.g. total_rub's "РУБ сумма" resolving rub_summa) are handled
+    # by static alias probes on the already-parsed struct below, so gating
+    # loses no _get parity. mapKeyDedupPolicy=LAST_WIN (session.py) gives
+    # the dict-comprehension last-wins on normalized collisions.
+    #
+    # Known divergence vs the reference's _get (documented, tested nowhere
+    # hot): a payload key with a JSON null value counts as PRESENT for
+    # _get's exact probe (returning None) but falls through our coalesce to
+    # the normalized fallback. Sheet-sourced payloads serialize empty cells
+    # as "" (sources/sheets.py), never null, so the case cannot arise from
+    # the supported sources; the DuckDB oracle (extract_raw_sql) states the
+    # same fall-through semantics, so both engines always agree.
+    key_list = ", ".join(f"'{k}'" for k in keys)
     parsed = df.withColumn(
         "__s", F.from_json(F.col(payload_col), f"struct<{schema}>")
     ).withColumn(
         "__nm",
         F.expr(
-            f"transform_keys(from_json({payload_col}, 'map<string,string>'), "
-            "(k, v) -> lower(replace(k, ' ', '')))"
+            f"CASE WHEN size(array_except(json_object_keys({payload_col}), "
+            f"array({key_list}))) > 0 "
+            f"THEN transform_keys(from_json({payload_col}, 'map<string,string>'), "
+            "(k, v) -> lower(replace(k, ' ', ''))) END"
         ),
     )
 
+    # Static cross-column aliases: enumerated keys (already struct fields)
+    # whose normalized form matches one of THIS column's normalized
+    # variants without being one of its exact variants. Probing them from
+    # the struct keeps the gated fast path exactly _get-equivalent when the
+    # payload has no novel keys.
+    def _aliases(variants: list[str], nk: str) -> list[str]:
+        return [
+            k for k in keys
+            if k not in variants and k.lower().replace(" ", "") == nk
+        ]
+
     # stage 1: first-present header variant per staging column
-    # (exact variants in order, then normalized-key fallback — _get parity)
+    # (exact variants in order, then per normalized variant: the gated
+    # arbitrary-key fallback, then the static enumerated aliases — _get
+    # parity in both the novel-key and the known-alias case)
     raws: list[Column] = []
     for name, _typ, variants in STAGING_COLUMNS:
         probes = [f"__s.`{v}`" for v in variants]
-        probes += [f"try_element_at(__nm, '{nk}')" for nk in norm_variants(variants)]
+        for nk in norm_variants(variants):
+            probes.append(f"try_element_at(__nm, '{nk}')")
+            probes += [f"__s.`{k}`" for k in _aliases(variants, nk)]
         raws.append(F.expr(f"coalesce({', '.join(probes)})").alias(f"__r_{name}"))
     stage1 = parsed.select(*base_cols, *raws)
 

@@ -8,11 +8,12 @@ part × supplier) — the *shapes* being proven are the TPC-H ones:
   decorrelated into a per-part min + equi-join back.
 - Q20: nested semi-join — suppliers having supplied a significant share
   of some part's volume, pushed through IN/LEFT SEMI.
-- Q4 / Q7 / Q8 / Q9 / Q10 / Q12 / Q14 / Q15 / Q17 / Q18 / Q19 / Q21 / Q22
-  counterparts live here too; each states the canonical subquery form in
-  the DuckDB oracle and the decorrelated/join form in Spark, proving they
-  compute the same thing. Together with Q1/Q3/Q5/Q6/Q13 in the analytics
-  modules, every TPC-H query expressible without partsupp is covered.
+- Q4 / Q7 / Q8 / Q9 / Q10 / Q11 / Q12 / Q14 / Q15 / Q16 / Q17 / Q18 /
+  Q19 / Q21 / Q22 counterparts live here too; each states the canonical
+  subquery form in the DuckDB oracle and the decorrelated/join form in
+  Spark, proving they compute the same thing. Q11 and Q16 run over the
+  derived partsupp. Together with Q1/Q3/Q5/Q6/Q13 in the analytics
+  modules, all 22 TPC-H query shapes are covered.
 
 Scale notes: every decorrelation shuffles on the correlation key exactly
 once; dimension sides broadcast; no shape degenerates to a cartesian.
@@ -223,14 +224,13 @@ def q12_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_ORACLE = """
-SELECT cast(round(
-    100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
                  THEN cast(l_extendedprice AS decimal(18,2))
                       * (1 - cast(l_discount AS decimal(18,2)))
                  ELSE cast(0 AS decimal(18,2)) END) AS double)
           / cast(sum(cast(l_extendedprice AS decimal(18,2))
-                     * (1 - cast(l_discount AS decimal(18,2)))) AS double),
-    4) AS double) AS promo_revenue_pct
+                     * (1 - cast(l_discount AS decimal(18,2)))) AS double)
+       AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
 """
@@ -251,12 +251,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(broadcast(p), li.l_partkey == p.p_partkey)
     zero = F.lit(0).cast("decimal(18,2)")
+    # Raw IEEE quotient on exact decimal totals — no SQL round(): Spark and
+    # DuckDB tie-break half-way doubles differently; the harness rounds
+    # uniformly at 6 dp.
     return joined.agg(
-        F.round(
+        (
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
-            / F.sum(rev).cast("double"),
-            4,
+            / F.sum(rev).cast("double")
         ).alias("promo_revenue_pct")
     )
 
@@ -266,7 +268,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17_ORACLE = """
-SELECT cast(round(sum(cast(l_extendedprice AS decimal(18,2))) / 7.0, 2) AS double)
+SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / 7.0
        AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#12'
@@ -290,11 +292,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = li.withColumn("avg_qty", F.avg("l_quantity").over(w)).filter(
         F.col("l_quantity") < 0.2 * F.col("avg_qty")
     )
+    # Exact decimal total divided once as a double — no SQL round() (engine
+    # tie-break divergence); the harness rounds uniformly at 6 dp.
     return small.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2
-        )
-        .cast("double")
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0))
         .alias("avg_yearly")
     )
 
@@ -520,8 +521,10 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 @register("q15_top_supplier", oracle=_Q15_ORACLE)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the revenue view computed once, the scalar-max
-    subquery decorrelated into an unpartitioned window-max over the
-    (small, already-aggregated) view — exact ties kept, unlike LIMIT 1.
+    subquery as a one-row aggregate broadcast back over the view (the
+    q22 threshold idiom) — exact ties kept, unlike LIMIT 1. An
+    unpartitioned window-max would funnel every supplier row through a
+    single task; the 1-row broadcast keeps the view fully parallel.
     Revenue sums are exact decimals so the equality compare is portable."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -533,10 +536,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev).cast("double").alias("total_revenue")
     )
-    w = Window.partitionBy()
-    best = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(w)
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    best = revenue.crossJoin(broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return best.join(broadcast(s), best.supplier_no == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
@@ -773,4 +776,131 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(F.col("rev_dec") > 8000).select(
         "c_custkey", "c_name", "n_name",
         F.col("rev_dec").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier count per part attribute, with a blacklist anti-join
+
+
+_Q16_ORACLE = """
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+    FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type NOT LIKE 'MED%'
+  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND ps.ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_parts_supplier_count", oracle=_Q16_ORACLE)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers able to supply each surviving
+    part attribute combination. partsupp derives from lineitem (distinct
+    part×supplier pairs, as for Q2/Q20); the complaints NOT IN becomes a
+    LEFT ANTI against the low-standing supplier blacklist (s_acctbal
+    analog — the schema has no s_comment). Part filters push to the scan;
+    the tiny blacklist broadcasts; countDistinct runs two-phase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000.0)
+        .select("s_suppkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("MED%")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    return (
+        ps.join(broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: per-part share of a global aggregate, scalar threshold
+
+
+_Q11_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           sum(cast(l_extendedprice AS decimal(18,2))
+               * cast(l_quantity AS decimal(18,2))) AS ps_value
+    FROM lineitem GROUP BY 1, 2
+),
+val AS (
+    SELECT ps.ps_partkey, sum(ps.ps_value) AS part_value
+    FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey < 13
+    GROUP BY ps.ps_partkey
+)
+SELECT ps_partkey, cast(part_value AS double) AS part_value
+FROM val
+WHERE cast(part_value AS double) > (
+    SELECT 1.5 * cast(sum(part_value) AS double) / count(*) FROM val
+)
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stocked value (for one nation group's
+    suppliers) exceeds a share of the global aggregate over the SAME
+    relation. The scalar subquery is a 1-row aggregate broadcast back over
+    the view (q22/q15 idiom). The threshold is 1.5× the mean part value —
+    scale-invariant, unlike Q11's 0.0001/SF literal fraction. Values are
+    exact decimal sums; the single division and compare happen on doubles
+    both engines derive identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+        ).alias("ps_value")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        ps.join(broadcast(sup), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum("ps_value").alias("part_value_dec"))
+    )
+    thresh = val.agg(
+        (
+            F.lit(1.5) * F.sum("part_value_dec").cast("double") / F.count(F.lit(1))
+        ).alias("thresh")
+    )
+    return (
+        val.crossJoin(broadcast(thresh))
+        .filter(F.col("part_value_dec").cast("double") > F.col("thresh"))
+        .select(
+            "ps_partkey", F.col("part_value_dec").cast("double").alias("part_value")
+        )
     )

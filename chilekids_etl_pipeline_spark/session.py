@@ -15,6 +15,12 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Unannotated parquet TIMESTAMP (isAdjustedToUTC=false, how the test
+    # tables are written) must read as TIMESTAMP (LTZ), not TIMESTAMP_NTZ:
+    # the hash/epoch expressions (unix_micros) are typed for LTZ, and with
+    # the session pinned to UTC the wall-clock micros equal DuckDB's naive
+    # read of the same files.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.caseSensitive": "true",
     "spark.sql.codegen.maxFields": "48",
     "spark.sql.adaptive.enabled": "true",
@@ -74,6 +80,9 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
         # events.parquet carries TIMESTAMP(NANOS); read as long, converted
         # back to timestamp in sources.tables (Spark has no nanos type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Unannotated parquet timestamps read as LTZ, not NTZ (see
+        # RUNTIME_CONFS).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Normalized-header fallback map is last-wins (see RUNTIME_CONFS).
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )

@@ -242,7 +242,6 @@ def test_round2_query_plans(spark):
         "q8_market_share",
         "q9_product_profit",
         "q10_returned_revenue",
-        "q15_top_supplier",
         "events_value_outliers",
         "rolling_7d_revenue",
         "sequence_packing",
@@ -254,3 +253,24 @@ def test_round2_query_plans(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
     for name in ("q7_nation_volume", "q8_market_share", "q9_product_profit"):
         assert "BroadcastHashJoin" in _plan(QS[name](spark, SF_SMALL)), name
+
+
+def test_scalar_threshold_queries_avoid_global_window(spark):
+    """q15/q11 compute their global scalar as a 1-row aggregate broadcast
+    back over the view (the q22 idiom) — NOT as an unpartitioned window,
+    which would funnel the whole aggregated view through a single task at
+    scale. The 1-row BroadcastNestedLoopJoin is the intended shape; a
+    Window node or a non-broadcast cartesian is a regression."""
+    for name in ("q15_top_supplier", "q11_important_stock"):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q16_blacklist_is_anti_join(spark):
+    """Q16's NOT IN blacklist must plan as a broadcast anti join over the
+    derived partsupp, never a per-row subquery or cartesian."""
+    plan = _plan(QS["q16_parts_supplier_count"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
