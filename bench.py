@@ -44,7 +44,7 @@ OPTIONAL = [
     "staging_records",
     "ann_ivf_cosine",
 ]
-# round-2 additions: timed separately so the headline total stays
+# round-2/3 additions: timed separately so the headline total stays
 # round-over-round comparable
 EXTRA = [
     "q2_min_cost_supplier",
@@ -56,6 +56,15 @@ EXTRA = [
     "range_join_purchase_errors",
     "embedding_centroids",
     "q15_top_supplier",
+    # round-3: round-2 surface that had no perf row, plus the heaviest
+    # TPC-H join chain (q9) and the new derived-partsupp shapes
+    "pii_redact",
+    "sequence_packing",
+    "url_domain_stats",
+    "vocab_top_terms",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
 ]
 
 
@@ -66,25 +75,35 @@ def run_oracle(con, sql: str) -> float:
     return time.perf_counter() - t0
 
 
-def duckdb_baseline(sf_dir: str, oracles: dict[str, str], names: list[str]) -> dict:
+def duckdb_baseline(
+    sf_dir: str, oracles: dict[str, str], names: list[str]
+) -> tuple[dict, dict]:
     """Time the DuckDB oracle for each benched query (full evaluation via
-    a /dev/null CSV sink). Returns {} if anything is unavailable."""
+    a /dev/null CSV sink). Returns (timings, errors). Only a missing
+    duckdb module disables the baseline wholesale; a failing individual
+    oracle is recorded per-query so the 2x acceptance criterion can never
+    silently stop being measured."""
     try:
-        import glob
-
         import duckdb
+    except ImportError:
+        return {}, {"__import__": "duckdb module not available"}
+    import glob
 
-        con = duckdb.connect()
-        for p in glob.glob(f"{sf_dir}/*.parquet"):
-            name = os.path.basename(p).removesuffix(".parquet")
-            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
-        out = {}
-        for name in names:
-            if name in oracles:
-                out[name] = round(run_oracle(con, oracles[name]), 4)
-        return out
-    except Exception:
-        return {}
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p).removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    out: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    for name in names:
+        if name not in oracles:
+            continue
+        try:
+            out[name] = round(run_oracle(con, oracles[name]), 4)
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            errs[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"bench: baseline failed for {name}: {e}", file=sys.stderr)
+    return out, errs
 
 
 def run_query(fn, spark, sf_dir) -> float:
@@ -118,30 +137,37 @@ def main() -> None:
     for name in (n for n in EXTRA if n in qs):
         extra[name] = round(run_query(qs[name], spark, sf_dir), 4)
 
-    base = duckdb_baseline(sf_dir, entry_mod.oracle_sql(), names)
-    base_total = round(sum(base.values()), 4) if base else None
+    base, base_errs = duckdb_baseline(
+        sf_dir, entry_mod.oracle_sql(), names + list(extra)
+    )
+    head_base = {n: t for n, t in base.items() if n in timings}
+    base_total = round(sum(head_base.values()), 4) if head_base else None
     vs = (
-        round(sum(timings[n] for n in base) / base_total, 4)
-        if base and base_total
+        round(sum(timings[n] for n in head_base) / base_total, 4)
+        if head_base and base_total
         else None
     )
+    all_spark = {**timings, **extra}
+    vs_per_query = {
+        n: round(all_spark[n] / base[n], 4) for n in base if base[n] > 0
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extra_queries": extra,
-                "baseline_engine": "duckdb (oracle SQL, same parquet, all cores)",
-                "baseline_queries": base,
-                "baseline_total": base_total,
-                "vs_baseline": vs,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra_queries": extra,
+        "baseline_engine": "duckdb (oracle SQL, same parquet, all cores)",
+        "baseline_queries": base,
+        "baseline_total": base_total,
+        "vs_baseline": vs,
+        "vs_baseline_per_query": vs_per_query,
+    }
+    if base_errs:
+        out["baseline_errors"] = base_errs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,14 +36,42 @@ def dot_expr(a: str, b: str) -> Column:
     )
 
 
+#: Hard bound on the broadcast query side of the exact baseline. Beyond
+#: this, the crossJoin's scored-pair count (|queries| × |corpus|) stops
+#: being a "small probe set against a big corpus" and the right tool is an
+#: ANN path. The bound is deliberately conservative: 100k × 128-dim floats
+#: is ~100 MB broadcast, near the default executor comfort zone.
+MAX_BRUTE_FORCE_QUERIES = 100_000
+
+
 def topk_cosine(
-    queries: DataFrame, corpus: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "vec"
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    max_queries: int = MAX_BRUTE_FORCE_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-match excluded).
 
     The query side is broadcast; the corpus is scanned once, partitioned.
     Ranking ties broken by neighbor id for determinism.
+
+    This is the EXACT-RECALL BASELINE: cost is |queries| × |corpus| scored
+    pairs, linear in the corpus but also linear in the broadcast query
+    set. The query side is therefore bounded (``max_queries``) and the
+    operator refuses larger probe sets rather than silently planning a
+    broadcast that OOMs an executor — use ``ann_lsh_topk`` or
+    ``ann_ivf_topk`` for large query sets.
     """
+    n_queries = queries.limit(max_queries + 1).count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"topk_cosine is the exact brute-force baseline: the query side "
+            f"broadcasts and must stay <= {max_queries} rows (got more). Use "
+            f"ann_lsh_topk (hyperplane-LSH buckets) or ann_ivf_topk (IVF "
+            f"cells) for large query sets."
+        )
     q = with_norm(queries, vec_col, "qnorm").select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "qnorm"
     )

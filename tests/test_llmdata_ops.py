@@ -72,6 +72,16 @@ def test_topk_cosine_orders_by_similarity(spark):
     assert got == [(2, 1), (3, 2)]
 
 
+def test_topk_cosine_refuses_oversized_query_side(spark):
+    """The exact baseline broadcasts its query side; beyond the bound it
+    must refuse with a pointer to the ANN paths, not plan a broadcast that
+    OOMs an executor at scale."""
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        topk_cosine(df, df, k=2, max_queries=5)
+
+
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_stub(b"bytes", "image")
