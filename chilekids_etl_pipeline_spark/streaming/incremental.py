@@ -62,3 +62,82 @@ def start_to_memory(normalized: DataFrame, table_name: str = "staging_stream"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_upsert_batch(
+    target_dir: str,
+    key_col: str = "raw_id",
+    order_cols: tuple[str, ...] = ("received_at", "payload_hash"),
+):
+    """foreachBatch MERGE: last-write-wins upsert of each micro-batch into
+    a keyed parquet target — the streaming twin of ``staging_upsert``
+    (the reference's ``ON CONFLICT (raw_id) DO UPDATE``,
+    src/transform.py:240-346, run continuously instead of per poll).
+
+    Exactly-once under restart: every batch stamps its ``batch_id`` into
+    the target, and a REPLAYED batch (crash between sink write and
+    checkpoint commit — Structured Streaming re-runs the last uncommitted
+    batch with the SAME id) is detected and skipped, so the upsert never
+    double-applies. The swap of the rewritten target is atomic (write to
+    tmp, rename), so a crash mid-write leaves the previous target intact.
+
+    On a Delta/Iceberg runtime this whole body is
+    ``MERGE INTO target USING batch ON target.key = batch.key`` — the
+    parquet rewrite is the portable stand-in (and the window dedup below
+    is exactly the shuffle MERGE performs on the key). Within one batch,
+    ``order_cols`` (descending) pick the winner per key; across batches
+    the newer batch wins.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        stamped = batch.withColumn("_batch_id", F.lit(int(batch_id)))
+        if os.path.exists(target_dir):
+            cur = spark.read.parquet(target_dir)
+            applied = cur.agg(F.max("_batch_id")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: already absorbed, skip
+            merged = cur.unionByName(stamped)
+        else:
+            merged = stamped
+        w = Window.partitionBy(key_col).orderBy(
+            F.col("_batch_id").desc(),
+            *[F.col(c).desc() for c in order_cols],
+        )
+        result = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tmp = target_dir + ".tmp"
+        old = target_dir + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        result.write.mode("overwrite").parquet(tmp)  # materializes the read
+        if os.path.exists(target_dir):
+            os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return _merge
+
+
+def start_upsert_sink(
+    normalized: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "raw_id",
+):
+    """Continuous keyed upsert into ``target_dir`` with checkpointed
+    progress — the full streaming mirror of the reference's ingest loop
+    (poll → normalize → upsert), restartable at the last committed batch."""
+    return (
+        normalized.writeStream.foreachBatch(merge_upsert_batch(target_dir, key_col))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -206,3 +206,67 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # advancing to 13:30
     assert sorted(n for w, n in rows if w == "2024-01-01 10:00:00") == [2]
     assert sorted(n for w, n in rows if w == "2024-01-01 12:00:00") == [1]
+
+
+def test_foreachbatch_upsert_sink_restart_and_replay(spark, tmp_path):
+    """The streaming twin of staging_upsert: a foreachBatch MERGE into a
+    keyed parquet target. Proves (a) last-write-wins within a batch,
+    (b) a restarted query (same checkpoint) upserts instead of appending,
+    (c) a replayed batch (same batch_id re-delivered after a crash between
+    sink write and checkpoint commit) is skipped, not double-applied."""
+    import json as _json
+    import os
+
+    from chilekids_etl_pipeline_spark.streaming.incremental import (
+        incremental_normalize,
+        merge_upsert_batch,
+        read_event_stream,
+        start_upsert_sink,
+    )
+
+    data = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target")
+    os.makedirs(data)
+
+    def drop(name, rows):
+        with open(f"{data}/{name}", "w") as f:
+            for eid, ts, val in rows:
+                f.write(
+                    _json.dumps(
+                        {"event_id": eid, "ts": f"2024-01-01T{ts}", "user_id": 1,
+                         "event_type": "view", "value": val, "props": "{}"}
+                    ) + "\n"
+                )
+
+    def run():
+        stream = read_event_stream(spark, data, max_files_per_trigger=1)
+        q = start_upsert_sink(incremental_normalize(stream), target, ckpt)
+        q.awaitTermination(120)
+
+    # run 1: key 1 appears twice (later ts must win), key 2 once
+    drop("drop_0.json", [(1, "10:00:00", 10.0), (1, "11:00:00", 11.0), (2, "10:30:00", 20.0)])
+    run()
+    got = {r.raw_id: float(r.amount) for r in spark.read.parquet(target).collect()}
+    assert got == {1: 11.0, 2: 20.0}
+
+    # run 2 (restart, same checkpoint): update key 2, insert key 3 —
+    # key 1 must survive untouched, key 2 must be REPLACED not duplicated
+    drop("drop_1.json", [(2, "12:00:00", 21.0), (3, "12:05:00", 30.0)])
+    run()
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 3  # upsert, not append
+    got = {r.raw_id: float(r.amount) for r in rows}
+    assert got == {1: 11.0, 2: 21.0, 3: 30.0}
+
+    # replay: re-deliver an already-absorbed batch id directly — the merge
+    # must detect it in the target and skip (idempotent under the
+    # crash-between-write-and-commit window)
+    applied = spark.read.parquet(target)
+    max_bid = applied.agg(F.max("_batch_id")).first()[0]
+    replay = applied.filter(F.col("raw_id") == 2).withColumn(
+        "amount", F.lit(99.0).cast("decimal(10,2)")
+    ).drop("_batch_id")
+    merge_upsert_batch(target)(replay, max_bid)
+    got = {r.raw_id: float(r.amount) for r in spark.read.parquet(target).collect()}
+    assert got[2] == 21.0  # unchanged: replayed batch skipped
