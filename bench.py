@@ -107,8 +107,15 @@ def duckdb_baseline(
 
 
 def run_query(fn, spark, sf_dir) -> float:
-    df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()  # warm-up
+    # Two warm-ups: the wide codegen plans (e.g. the 41-column staging
+    # parse) JIT-compile their generated methods across the first couple
+    # of executions; a single warm-up still times the interpreter/C1 tier.
+    # The timed run measures steady state — what a long-running cluster job
+    # actually sees. (The DuckDB baseline gets its warm-up too; it has no
+    # JIT ramp, so one suffices.)
+    for _ in range(2):
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()

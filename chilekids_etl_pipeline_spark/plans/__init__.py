@@ -10,4 +10,4 @@ def load_all() -> None:
     (tpch, llmdata2, scale, staging, then llmdata), with the modules fully
     verified in earlier rounds (elt, marts, analytics*) registering last.
     """
-    from . import tpch, llmdata2, scale, staging, llmdata, elt, marts, analytics, analytics2, analytics3  # noqa: F401
+    from . import tpch, llmdata2, scale, staging, llmdata, elt, marts, analytics, analytics2, analytics3, llmdata3  # noqa: F401

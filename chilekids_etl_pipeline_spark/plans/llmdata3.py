@@ -1,0 +1,273 @@
+"""Training-data pipeline operators, batch 3: model-scored quality
+filtering, contamination span measurement, exact-quota stratified
+sampling, RAG-style chunking, and embedding quantization.
+
+Same discipline as plans/llmdata.py / llmdata2.py: every operator is a
+dual-dialect SQL template (Spark = JVM whole-stage codegen, DuckDB = the
+oracle), inputs are the driver's documents / embeddings tables, and every
+computation is explode → hash-partitioned aggregation, a per-partition
+window, or pure per-row column arithmetic — never all-pairs work, no
+Python in the data path.
+
+These fill the remaining gaps a production pretraining pipeline has
+beyond dedup/ANN/quality-signals (reference repo has no analog; the
+operators follow the published recipes — CCNet/fastText-style quality
+classification, benchmark-decontamination span rules, proportional corpus
+sampling, fixed-stride context chunking, int8 storage quantization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import stop_hits_sql, words_sql
+from ..sources.tables import load_table
+from .llmdata2 import _bench_grams_cte
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# model-scored quality filter (fastText/CCNet-style logistic classifier)
+
+# Fixed "trained" weights: in production these come from a logistic
+# regression fit on labeled good/bad documents; the weights broadcast as
+# literals into the scoring expression, so inference is one codegen'd
+# projection over the corpus — no model server, no UDF, no shuffle.
+_W0, _W_LOGN, _W_STOP, _W_AWL, _W_DIST = -2.0, 0.9, 3.5, -0.15, 1.2
+
+
+def _clf_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    if dialect == "spark":
+        nw, nd = "size(w)", "size(array_distinct(w))"
+    else:
+        nw, nd = "len(w)", "len(list_distinct(w))"
+    stops = stop_hits_sql(dialect, "w", ["the", "a", "of", "and", "is", "to", "in"])
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           {nw} AS n_words,
+           {stops} / cast({nw} AS double) AS stop_ratio,
+           length(text) / cast({nw} AS double) AS avg_word_len,
+           {nd} / cast({nw} AS double) AS distinct_ratio
+    FROM (SELECT doc_id, text, {w} AS w FROM documents)
+    WHERE {nw} >= 1
+),
+scored AS (
+    SELECT doc_id, n_words,
+           {_W0} + {_W_LOGN} * ln(1 + n_words) + {_W_STOP} * stop_ratio
+               + {_W_AWL} * avg_word_len + {_W_DIST} * distinct_ratio AS z
+    FROM feats
+)
+SELECT doc_id, n_words,
+       1.0 / (1.0 + exp(-z)) AS score,
+       1.0 / (1.0 + exp(-z)) > 0.5 AS keep
+FROM scored
+"""
+
+
+@register("quality_classifier_score", oracle=_clf_sql("duckdb"))
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality classifier over engineered features (log length,
+    stopword ratio, word shape, lexical diversity) with broadcast literal
+    weights — the fastText-filter pattern at corpus scale: scoring is a
+    single codegen'd projection per document, embarrassingly parallel,
+    zero shuffles. Feature arithmetic and the sigmoid are IEEE-identical
+    in both engines, so the keep/drop decision is portable."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_clf_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# contamination SPAN measurement (longest contiguous contaminated run)
+
+_SPAN_N = 8  # must match llmdata2's benchmark gram size
+
+
+def _pos_grams_sql(dialect: str) -> str:
+    """Positional (non-distinct) 8-grams: (doc_id, pos, gram)."""
+    w = words_sql(dialect)
+    if dialect == "spark":
+        return f"""
+    SELECT doc_id, g.pos AS pos, g.gram AS gram FROM (
+        SELECT doc_id,
+               explode(transform(sequence(0, size(w) - {_SPAN_N}),
+                   i -> named_struct('pos', i, 'gram',
+                        concat_ws(' ', slice(w, i + 1, {_SPAN_N}))))) AS g
+        FROM (SELECT doc_id, {w} AS w FROM documents)
+        WHERE size(w) >= {_SPAN_N}
+    )"""
+    return f"""
+    SELECT doc_id, (u).pos AS pos, (u).gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(w) - {_SPAN_N} + 1),
+                   i -> {{'pos': i, 'gram':
+                        array_to_string(w[i + 1 : i + {_SPAN_N}], ' ')}})) AS u
+        FROM (SELECT doc_id, {w} AS w FROM documents)
+        WHERE len(w) >= {_SPAN_N}
+    )"""
+
+
+def _span_sql(dialect: str) -> str:
+    return f"""
+WITH bench AS ({_bench_grams_cte(dialect)}),
+grams AS ({_pos_grams_sql(dialect)}),
+hits AS (
+    SELECT gr.doc_id, gr.pos FROM grams gr
+    WHERE EXISTS (SELECT 1 FROM bench b WHERE b.g = gr.gram)
+),
+runs AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM hits
+),
+per_run AS (
+    SELECT doc_id, grp, count(*) AS run_len FROM runs GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       cast(sum(run_len) AS bigint) AS n_contam_grams,
+       cast(max(run_len) AS bigint) AS max_run,
+       cast(max(run_len) + {_SPAN_N - 1} AS bigint) AS max_span_words
+FROM per_run GROUP BY doc_id
+"""
+
+
+@register("contamination_span", oracle=_span_sql("duckdb"))
+def contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by SPAN, not just overlap fraction: the longest
+    contiguous run of benchmark-contaminated 8-grams per document (a
+    50-gram verbatim quote is a removal, a few scattered hits are noise —
+    the span rule published eval-decontamination recipes use). Positional
+    grams semi-join the broadcastable benchmark set; runs group via the
+    pos − row_number() trick inside a per-document window — one shuffle on
+    doc_id, state linear in hits only."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_span_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# exact-quota stratified sampling
+
+_QUOTA = 40  # docs kept per stratum
+
+
+def _strat_sql(dialect: str) -> str:
+    cast_s = "AS string" if dialect == "spark" else "AS varchar"
+    return f"""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(cast(doc_id {cast_s}))) AS rk
+    FROM documents
+)
+SELECT doc_id, lang, source, rk FROM ranked WHERE rk <= {_QUOTA}
+"""
+
+
+@register("stratified_sample_exact", oracle=_strat_sql("duckdb"))
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quotas (here: N docs per language) via a
+    hash-ordered rank inside each stratum — deterministic, reproducible
+    sampling with hard guarantees, complementing dataset_mixture_sample's
+    md5-coin proportional mixing (exact quota vs expected proportion).
+    One shuffle on the stratum key; the md5 order makes the pick
+    uniform-ish and engine-portable. At extreme per-stratum cardinality
+    the rank becomes a per-stratum top-K (TakeOrdered) rather than a full
+    sort — same result, bounded memory."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_strat_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# fixed-stride overlapping chunk split (RAG / context-window prep)
+
+_CHUNK_W = 8  # words per chunk
+_STRIDE = 6  # stride (overlap = _CHUNK_W - _STRIDE)
+
+
+def _chunks_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    if dialect == "spark":
+        return f"""
+WITH docs AS (SELECT doc_id, {w} AS w FROM documents),
+chunks AS (
+    SELECT doc_id, size(w) AS n_words,
+           explode(transform(sequence(1, size(w), {_STRIDE}),
+               s -> named_struct('s', s,
+                    'cw', slice(w, s, {_CHUNK_W})))) AS c
+    FROM docs WHERE size(w) > 0
+)
+SELECT doc_id,
+       (c.s - 1) DIV {_STRIDE} AS chunk_idx,
+       c.s AS start_word,
+       size(c.cw) AS n_tokens,
+       md5(concat_ws(' ', c.cw)) AS chunk_hash
+FROM chunks
+"""
+    return f"""
+WITH docs AS (SELECT doc_id, {w} AS w FROM documents),
+chunks AS (
+    SELECT doc_id, len(w) AS n_words,
+           unnest(list_transform(range(1, len(w) + 1, {_STRIDE}),
+               s -> {{'s': s, 'cw': w[s : s + {_CHUNK_W} - 1]}})) AS c
+    FROM docs WHERE len(w) > 0
+)
+SELECT doc_id,
+       ((c).s - 1) // {_STRIDE} AS chunk_idx,
+       (c).s AS start_word,
+       len((c).cw) AS n_tokens,
+       md5(array_to_string((c).cw, ' ')) AS chunk_hash
+FROM chunks
+"""
+
+
+@register("chunk_overlap_split", oracle=_chunks_sql("duckdb"))
+def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride overlapping chunking (8-word windows, stride 6 —
+    the RAG/context-window prep step): per-document array windowing via
+    sequence + slice, exploded to one row per chunk. Work is linear in
+    corpus size × overlap factor, embarrassingly parallel, no shuffle at
+    all — the chunk table inherits the document partitioning, which is
+    exactly what the downstream embed step wants."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_chunks_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (vector storage compression)
+
+
+def _quant_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tf, amax, join_ = "transform", "array_max", "concat_ws"
+        e = "transform(embedding, x -> cast(x AS double))"
+    else:
+        tf, amax = "list_transform", "list_max"
+        e = "list_transform(embedding, x -> cast(x AS double))"
+    q = "cast(floor(x / scale * 127 + 0.5) AS int)"
+    body = f"""
+WITH v AS (SELECT vec_id, {e} AS e FROM embeddings),
+s AS (SELECT vec_id, e, {amax}({tf}(e, x -> abs(x))) AS scale FROM v)
+SELECT vec_id, scale,
+       {{qvec}} AS qvec,
+       {amax}({tf}(e, x -> abs({q} * scale / 127 - x))) AS max_err
+FROM s WHERE scale > 0
+"""
+    if dialect == "spark":
+        qvec = f"concat_ws(',', transform(e, x -> cast({q} AS string)))"
+    else:
+        qvec = f"array_to_string(list_transform(e, x -> {q}), ',')"
+    return body.format(qvec=qvec)
+
+
+@register("embedding_quantize_int8", oracle=_quant_sql("duckdb"))
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector max-abs scale — the
+    4x storage/bandwidth compression step of a large vector index, plus
+    the reconstruction-error bound per vector. Pure per-row array
+    arithmetic (one codegen projection, no shuffle); rounding uses
+    floor(x + 0.5) because SQL round() tie-breaks differently across
+    engines. qvec is emitted as a CSV string: both engines print int
+    arrays differently, the string form hash-compares cleanly."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_quant_sql("spark"))

@@ -267,6 +267,23 @@ def test_scalar_threshold_queries_avoid_global_window(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_llmdata3_plans_never_cartesian(spark):
+    """Batch-3 training-data ops: per-row projections and hash/window
+    shuffles only — contamination_span's benchmark EXISTS must plan as a
+    semi join, never a nested loop over the corpus."""
+    for name in (
+        "quality_classifier_score",
+        "contamination_span",
+        "stratified_sample_exact",
+        "chunk_overlap_split",
+        "embedding_quantize_int8",
+    ):
+        plan = _plan(QS[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "LeftSemi" in _plan(QS["contamination_span"](spark, SF_SMALL))
+
+
 def test_q16_blacklist_is_anti_join(spark):
     """Q16's NOT IN blacklist must plan as a broadcast anti join over the
     derived partsupp, never a per-row subquery or cartesian."""
