@@ -65,6 +65,12 @@ EXTRA = [
     "q9_product_profit",
     "q11_important_stock",
     "q16_parts_supplier_count",
+    # round-3 training-data batch
+    "quality_classifier_score",
+    "contamination_span",
+    "stratified_sample_exact",
+    "chunk_overlap_split",
+    "embedding_quantize_int8",
 ]
 
 

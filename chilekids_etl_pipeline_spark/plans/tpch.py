@@ -891,6 +891,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(broadcast(sup), ps.ps_suppkey == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(F.sum("ps_value").alias("part_value_dec"))
+        # referenced twice (threshold scalar + filter side); persisting the
+        # small per-part aggregate stops the lineitem scan + double
+        # aggregation from running twice — same idiom as the persisted
+        # shingle table in dedup_minhash_lsh
+        .persist()
     )
     thresh = val.agg(
         (

@@ -270,3 +270,41 @@ def test_foreachbatch_upsert_sink_restart_and_replay(spark, tmp_path):
     merge_upsert_batch(target)(replay, max_bid)
     got = {r.raw_id: float(r.amount) for r in spark.read.parquet(target).collect()}
     assert got[2] == 21.0  # unchanged: replayed batch skipped
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_drops):
+    """The attribution interval join (purchase to preceding views within
+    the horizon) as a stream-stream join must produce exactly the rows the
+    equivalent batch join produces on the same events."""
+    from chilekids_etl_pipeline_spark.streaming.joins import view_to_purchase_stream
+
+    path, ev = event_drops
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    q = start_to_memory(view_to_purchase_stream(stream), "t_vp_stream")
+    q.awaitTermination(120)
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_vp_stream").collect()
+    }
+
+    edf = spark.createDataFrame(ev)
+    v = edf.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = edf.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 120 MINUTES"
+            ),
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
