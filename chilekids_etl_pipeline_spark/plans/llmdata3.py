@@ -1,6 +1,7 @@
 """Training-data pipeline operators, batch 3: model-scored quality
 filtering, contamination span measurement, exact-quota stratified
-sampling, RAG-style chunking, and embedding quantization.
+sampling, RAG-style chunking, embedding quantization, and LSH-index
+quality measurement (candidate recall/precision vs exact ground truth).
 
 Same discipline as plans/llmdata.py / llmdata2.py: every operator is a
 dual-dialect SQL template (Spark = JVM whole-stage codegen, DuckDB = the
@@ -258,6 +259,110 @@ FROM s WHERE scale > 0
     else:
         qvec = f"array_to_string(list_transform(e, x -> {q}), ',')"
     return body.format(qvec=qvec)
+
+
+# ---------------------------------------------------------------------------
+# LSH index quality: candidate recall/precision vs exact Jaccard truth
+
+
+def _lsh_recall_oracle() -> str:
+    """Composed lazily from llmdata's shared CTE templates (same corpus
+    augmentation, shingles, MinHash bands) so the two measurement sides
+    are definitionally the same data the production entries use."""
+    from .llmdata import _DOCS_AUG_DUCK, _SH_DUCK, _W_DUCK
+
+    return f"""
+WITH {_DOCS_AUG_DUCK.lstrip()},
+wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
+sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+hd AS (
+    SELECT doc_id,
+           cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS h1,
+           cast(('0x' || substr(md5(shingle), 16, 13)) AS bigint) AS h2
+    FROM sh
+),
+mh AS (
+    SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+    FROM hd CROSS JOIN range(0, 12) t(seed)
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 3 AS band,
+           md5(string_agg(cast(mh AS varchar), '|' ORDER BY seed)) AS band_sig
+    FROM mh GROUP BY doc_id, seed // 3
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+exact AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE c / (ca.n + cb.n - c) >= 0.5
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM cand) AS n_cand,
+       (SELECT count(*) FROM exact e JOIN cand c
+            ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS n_hits,
+       (SELECT count(*) FROM exact e JOIN cand c
+            ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+           / cast((SELECT count(*) FROM exact) AS double) AS recall,
+       (SELECT count(*) FROM exact e JOIN cand c
+            ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+           / cast((SELECT count(*) FROM cand) AS double) AS precision
+"""
+
+
+@register("dedup_lsh_recall", oracle=_lsh_recall_oracle)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index QA for the MinHash-LSH dedup path: recall (what fraction of
+    true Jaccard-≥0.5 pairs become band-bucket candidates) and precision
+    (what fraction of candidates are true pairs) against the exact
+    shingle-join ground truth on the same augmented corpus. This is the
+    measurement a production pipeline runs on a sample before trusting the
+    index at full scale — the exact side is the expensive all-shared-
+    shingle join, which is why it runs on samples, not the corpus. Counts
+    reduce to one row; the three scalars broadcast-combine."""
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_bands,
+        shingle_rows,
+    )
+    from .llmdata import _docs_aug_spark
+
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
+    exact = jaccard_pairs(sh, 0.5).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(minhash_bands(sh, num_hashes=12, band_size=3))
+    hits = exact.join(cand, ["doc_a", "doc_b"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_exact",
+            "n_cand",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_exact").cast("double")).alias("recall"),
+            (F.col("n_hits") / F.col("n_cand").cast("double")).alias("precision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (vector storage compression)
 
 
 @register("embedding_quantize_int8", oracle=_quant_sql("duckdb"))

@@ -56,6 +56,6 @@ def _is_round3(key: str) -> bool:
     round3 = {
         "quality_classifier_score", "contamination_span",
         "stratified_sample_exact", "chunk_overlap_split",
-        "embedding_quantize_int8",
+        "embedding_quantize_int8", "dedup_lsh_recall",
     }
     return key in round3
