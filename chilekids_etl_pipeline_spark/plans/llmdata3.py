@@ -262,6 +262,108 @@ FROM s WHERE scale > 0
 
 
 # ---------------------------------------------------------------------------
+# the whole pretraining-data flow as ONE composed DAG
+
+_PIPE_BIN = 256  # packing bin size (tokens)
+
+
+def _pipeline_sql(dialect: str) -> str:
+    """quality filter → exact dedup → contamination screen → per-language
+    quota → sequence packing, composed from the same templates the
+    individual entries use (the training-data twin of elt_end_to_end)."""
+    w = words_sql(dialect)
+    nw = f"size({w})" if dialect == "spark" else f"len({w})"
+    nd = (
+        f"size(array_distinct({w}))"
+        if dialect == "spark"
+        else f"len(list_distinct({w}))"
+    )
+    stops = stop_hits_sql(
+        dialect, w, ["the", "a", "of", "and", "is", "to", "in"]
+    )
+    from ..functions.text import shingles_sql
+
+    g8 = shingles_sql(dialect, w, _SPAN_N)
+    gram_sel = f"explode({g8})" if dialect == "spark" else f"unnest({g8})"
+    cast_s = "AS string" if dialect == "spark" else "AS varchar"
+    intdiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-({_W0} + {_W_LOGN} * ln(1 + {nw})
+               + {_W_STOP} * ({stops} / cast({nw} AS double))
+               + {_W_AWL} * (length(text) / cast({nw} AS double))
+               + {_W_DIST} * ({nd} / cast({nw} AS double))))) AS score
+    FROM documents WHERE {nw} >= 1
+),
+kept AS (
+    SELECT d.doc_id, d.text, d.lang, d.source
+    FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    WHERE s.score > 0.5
+),
+canon AS (
+    SELECT doc_id, text, lang, source,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+),
+dedup AS (SELECT doc_id, text, lang, source FROM canon WHERE rn = 1),
+bench AS ({_bench_grams_cte(dialect)}),
+doc_grams AS (SELECT doc_id, {gram_sel} AS g FROM dedup),
+contam AS (
+    SELECT dg.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+    FROM doc_grams dg LEFT JOIN bench b ON dg.g = b.g
+    GROUP BY dg.doc_id
+),
+dirty AS (SELECT doc_id FROM contam WHERE n_hits * 10 > n_grams),
+clean AS (
+    SELECT d.* FROM dedup d
+    WHERE NOT EXISTS (SELECT 1 FROM dirty x WHERE x.doc_id = d.doc_id)
+),
+quota AS (
+    SELECT doc_id, text, lang, source,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(cast(doc_id {cast_s}))) AS rk
+    FROM clean
+),
+sampled AS (SELECT doc_id, text, lang, source FROM quota WHERE rk <= {_QUOTA}),
+toks AS (SELECT doc_id, lang, source, {nw} AS n_tokens FROM sampled),
+packed AS (
+    SELECT doc_id, lang, source, n_tokens,
+           cast(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS bigint) AS start_offset
+    FROM toks
+)
+SELECT doc_id, lang, source, cast(n_tokens AS bigint) AS n_tokens,
+       start_offset,
+       start_offset {intdiv} {_PIPE_BIN} AS start_bin,
+       CASE WHEN n_tokens = 0 THEN start_offset {intdiv} {_PIPE_BIN}
+            ELSE (start_offset + n_tokens - 1) {intdiv} {_PIPE_BIN}
+       END AS end_bin
+FROM packed
+"""
+
+
+@register("training_data_pipeline", oracle=lambda: _pipeline_sql("duckdb"))
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-data flow as one composed Catalyst DAG —
+    quality-classifier filter, exact dedup (hash-window canonical),
+    benchmark contamination screen (8-gram broadcast join + NOT EXISTS
+    anti join), exact per-language quotas, and per-source sequence
+    packing — the training-data twin of elt_end_to_end. One declarative
+    plan means Catalyst prunes columns/pushes filters ACROSS stage
+    boundaries (the text column is never carried past its last use), and
+    the stages shuffle on different keys exactly once each (content hash →
+    doc_id → lang → source). This is the shape a 100 TB curation job
+    actually runs as."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_pipeline_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # LSH index quality: candidate recall/precision vs exact Jaccard truth
 
 

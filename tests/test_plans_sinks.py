@@ -277,11 +277,14 @@ def test_llmdata3_plans_never_cartesian(spark):
         "stratified_sample_exact",
         "chunk_overlap_split",
         "embedding_quantize_int8",
+        "training_data_pipeline",
     ):
         plan = _plan(QS[name](spark, SF_SMALL))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     assert "LeftSemi" in _plan(QS["contamination_span"](spark, SF_SMALL))
+    # the contamination screen's NOT EXISTS must decorrelate to an anti join
+    assert "LeftAnti" in _plan(QS["training_data_pipeline"](spark, SF_SMALL))
 
 
 def test_q16_blacklist_is_anti_join(spark):
