@@ -101,6 +101,85 @@ def test_exact_variant_wins_over_normalized_fallback(spark):
     assert float(row.total_rub) == 100.0
 
 
+def _model_get(payload: dict, variants: list[str]) -> str | None:
+    """Python model of the reference's key-variant lookup (_get,
+    transform.py:108-115) under our documented null-handling: exact
+    variants probed in order (skipping null values — see the divergence
+    note in operators/staging.py), then the normalized
+    (lower, space-stripped) arbitrary-key map, last key wins, probed per
+    normalized variant name."""
+    for v in variants:
+        if payload.get(v) is not None:
+            return payload[v]
+    nm = {}
+    for k, val in payload.items():
+        nm[k.lower().replace(" ", "")] = val
+    seen = []
+    for v in variants:
+        nk = v.lower().replace(" ", "")
+        if nk not in seen:
+            seen.append(nk)
+    for nk in seen:
+        if nm.get(nk) is not None:
+            return nm[nk]
+    return None
+
+
+_CASE_STYLES = ["exact", "upper", "lower", "title", "spaced"]
+
+
+def _mutate(key: str, style: str) -> str:
+    if style == "upper":
+        return key.upper()
+    if style == "lower":
+        return key.lower()
+    if style == "title":
+        return key.title()
+    if style == "spaced":
+        return key + " "
+    return key
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["type", "client", "category", "task", "vendor"]),
+            st.integers(min_value=0, max_value=4),  # variant index (mod len)
+            st.sampled_from(_CASE_STYLES),
+            st.text(st.sampled_from(list("abcXYZ ")), min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_staging_fallback_matches_get_model_on_fuzz(spark, entries):
+    """Fuzz the gated fallback path: payloads built from case-mutated
+    header variants must extract exactly what the reference's _get model
+    extracts — for every string staging column, both when the gate stays
+    off (all keys enumerated) and when it fires (novel casings)."""
+    import json as _json
+
+    from chilekids_etl_pipeline_spark.operators.staging import STAGING_COLUMNS
+
+    cols = {name: variants for name, typ, variants in STAGING_COLUMNS if typ == "str"}
+    payload: dict[str, str] = {}
+    for col, vi, style, val in entries:
+        variants = cols[col]
+        key = _mutate(variants[vi % len(variants)], style)
+        payload[key] = val
+
+    df = spark.createDataFrame(
+        [("r1", _json.dumps(payload))], "id string, payload string"
+    )
+    row = normalize_staging(df, "payload").collect()[0]
+    for col, variants in cols.items():
+        assert getattr(row, col) == _model_get(payload, variants), (
+            col,
+            payload,
+        )
+
+
 MONEY_CHARS = st.sampled_from(list("0123456789.,$€₽()  -abc"))
 
 
