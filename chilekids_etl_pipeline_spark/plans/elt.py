@@ -358,3 +358,87 @@ def audit_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_hash", F.md5(F.col("payload"))
     )
     return audit_diff(old, new, key="event_id")
+
+
+# ---------------------------------------------------------------------------
+# raw-layer quarantine: the ingest error path as data
+
+
+def _quarantine_payload_sql(dialect: str) -> str:
+    """Deterministic malformed-payload mix over events: empty, truncated
+    JSON, valid-but-keyless, and two pk spellings (case-insensitive
+    detection, main.py:174-189)."""
+    cast_s = "AS string" if dialect == "spark" else "AS varchar"
+    eid = f"cast(event_id {cast_s})"
+    return f"""CASE cast(event_id % 5 AS int)
+    WHEN 0 THEN ''
+    WHEN 1 THEN concat('{{"broken_', {eid})
+    WHEN 2 THEN concat('{{"k":"', event_type, '"}}')
+    WHEN 3 THEN concat('{{"ID":"e', {eid}, '","v":"x"}}')
+    ELSE concat('{{"uuid":"u', {eid}, '"}}')
+    END"""
+
+
+_PK_KEYS = ("pk", "id", "row_id", "uuid")
+
+
+def _quarantine_oracle() -> str:
+    pay = _quarantine_payload_sql("duckdb")
+    inlist = ", ".join(f"'{k}'" for k in _PK_KEYS)
+    probes = ", ".join(
+        "json_extract_string(payload, '$.\"' || "
+        f"list_filter(json_keys(payload), k -> lower(k) = '{k}')[-1] || '\"')"
+        for k in _PK_KEYS
+    )
+    return f"""
+WITH raw AS (SELECT event_id, {pay} AS payload FROM events),
+cls AS (
+    SELECT event_id, payload,
+           CASE WHEN trim(payload) = '' THEN 'empty_payload'
+                WHEN NOT json_valid(payload) THEN 'invalid_json'
+                WHEN len(list_filter(json_keys(payload),
+                         k -> lower(k) IN ({inlist}))) = 0 THEN 'missing_pk'
+                ELSE 'ok' END AS status
+    FROM raw
+)
+SELECT event_id, status,
+       status <> 'ok' AS quarantined,
+       CASE WHEN status = 'ok' THEN coalesce({probes}) END AS resolved_pk
+FROM cls
+"""
+
+
+@register("raw_quarantine", oracle=_quarantine_oracle)
+def raw_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ingest error path (main.py:142-217 logs and skips
+    malformed sheet rows) as DATA: every raw payload is classified
+    (empty / unparseable JSON / no case-insensitive pk variant / ok) and
+    ok rows resolve their pk with the reference's precedence
+    (pk > id > row_id > uuid, case-insensitive, last duplicate key wins).
+    Pure per-row column work — classification at 100 TB is a projection,
+    and the quarantine split is a partition-local filter, no shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr(_quarantine_payload_sql("spark")).alias("payload")
+    )
+    inlist = ", ".join(f"'{k}'" for k in _PK_KEYS)
+    m = "from_json(payload, 'map<string,string>')"
+    nm = f"transform_keys({m}, (k, v) -> lower(k))"
+    probes = ", ".join(f"try_element_at(__nm, '{k}')" for k in _PK_KEYS)
+    cls = ev.withColumn("__m", F.expr(m)).withColumn(
+        "status",
+        F.expr(
+            f"""CASE WHEN trim(payload) = '' THEN 'empty_payload'
+                 WHEN __m IS NULL THEN 'invalid_json'
+                 WHEN NOT exists(map_keys(__m), k -> lower(k) IN ({inlist}))
+                     THEN 'missing_pk'
+                 ELSE 'ok' END"""
+        ),
+    )
+    return cls.withColumn("__nm", F.expr(nm)).select(
+        "event_id",
+        "status",
+        (F.col("status") != "ok").alias("quarantined"),
+        F.when(F.col("status") == "ok", F.expr(f"coalesce({probes})")).alias(
+            "resolved_pk"
+        ),
+    )
