@@ -71,6 +71,8 @@ EXTRA = [
     "stratified_sample_exact",
     "chunk_overlap_split",
     "embedding_quantize_int8",
+    "training_data_pipeline",
+    "raw_quarantine",
 ]
 
 

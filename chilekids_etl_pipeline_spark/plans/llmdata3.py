@@ -267,10 +267,9 @@ FROM s WHERE scale > 0
 _PIPE_BIN = 256  # packing bin size (tokens)
 
 
-def _pipeline_sql(dialect: str) -> str:
-    """quality filter → exact dedup → contamination screen → per-language
-    quota → sequence packing, composed from the same templates the
-    individual entries use (the training-data twin of elt_end_to_end)."""
+def _pipeline_dedup_sql(dialect: str) -> str:
+    """Stages 1-2: quality filter + exact dedup (the survivors table the
+    later stages consume TWICE — gram explosion and the anti join)."""
     w = words_sql(dialect)
     nw = f"size({w})" if dialect == "spark" else f"len({w})"
     nd = (
@@ -281,12 +280,6 @@ def _pipeline_sql(dialect: str) -> str:
     stops = stop_hits_sql(
         dialect, w, ["the", "a", "of", "and", "is", "to", "in"]
     )
-    from ..functions.text import shingles_sql
-
-    g8 = shingles_sql(dialect, w, _SPAN_N)
-    gram_sel = f"explode({g8})" if dialect == "spark" else f"unnest({g8})"
-    cast_s = "AS string" if dialect == "spark" else "AS varchar"
-    intdiv = "DIV" if dialect == "spark" else "//"
     return f"""
 WITH scored AS (
     SELECT doc_id,
@@ -305,10 +298,25 @@ canon AS (
     SELECT doc_id, text, lang, source,
            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
     FROM kept
-),
-dedup AS (SELECT doc_id, text, lang, source FROM canon WHERE rn = 1),
-bench AS ({_bench_grams_cte(dialect)}),
-doc_grams AS (SELECT doc_id, {gram_sel} AS g FROM dedup),
+)
+SELECT doc_id, text, lang, source FROM canon WHERE rn = 1
+"""
+
+
+def _pipeline_rest_sql(dialect: str, dedup_ref: str, lead_cte: str = "") -> str:
+    """Stages 3-5 over the dedup survivors: contamination screen, exact
+    per-language quotas, per-source sequence packing."""
+    w = words_sql(dialect)
+    nw = f"size({w})" if dialect == "spark" else f"len({w})"
+    from ..functions.text import shingles_sql
+
+    g8 = shingles_sql(dialect, w, _SPAN_N)
+    gram_sel = f"explode({g8})" if dialect == "spark" else f"unnest({g8})"
+    cast_s = "AS string" if dialect == "spark" else "AS varchar"
+    intdiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH {lead_cte}bench AS ({_bench_grams_cte(dialect)}),
+doc_grams AS (SELECT doc_id, {gram_sel} AS g FROM {dedup_ref}),
 contam AS (
     SELECT dg.doc_id,
            count(*) AS n_grams,
@@ -318,7 +326,7 @@ contam AS (
 ),
 dirty AS (SELECT doc_id FROM contam WHERE n_hits * 10 > n_grams),
 clean AS (
-    SELECT d.* FROM dedup d
+    SELECT d.* FROM {dedup_ref} d
     WHERE NOT EXISTS (SELECT 1 FROM dirty x WHERE x.doc_id = d.doc_id)
 ),
 quota AS (
@@ -347,20 +355,38 @@ FROM packed
 """
 
 
-@register("training_data_pipeline", oracle=lambda: _pipeline_sql("duckdb"))
+def _pipeline_oracle() -> str:
+    return _pipeline_rest_sql(
+        "duckdb", "dedup", lead_cte=f"dedup AS ({_pipeline_dedup_sql('duckdb')}),\n"
+    )
+
+
+@register("training_data_pipeline", oracle=_pipeline_oracle)
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pretraining-data flow as one composed Catalyst DAG —
     quality-classifier filter, exact dedup (hash-window canonical),
     benchmark contamination screen (8-gram broadcast join + NOT EXISTS
     anti join), exact per-language quotas, and per-source sequence
-    packing — the training-data twin of elt_end_to_end. One declarative
-    plan means Catalyst prunes columns/pushes filters ACROSS stage
-    boundaries (the text column is never carried past its last use), and
-    the stages shuffle on different keys exactly once each (content hash →
-    doc_id → lang → source). This is the shape a 100 TB curation job
+    packing — the training-data twin of elt_end_to_end. Catalyst prunes
+    columns/pushes filters across stage boundaries, and the stages shuffle
+    on different keys exactly once each (content hash → doc_id → lang →
+    source). The dedup survivors table is consumed TWICE (gram explosion
+    and the keep side of the anti join); CTEs inline in Spark, so it is
+    materialized once via persist — without it the quality+dedup stages
+    run twice over the corpus. This is the shape a 100 TB curation job
     actually runs as."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_pipeline_sql("spark"))
+    # repartition before persisting: the single-row-group parquet scan
+    # yields one split, and the persisted survivors inherit partitioning —
+    # without the rebalance the whole gram-explosion stage runs on one
+    # task (at cluster scale, file layout provides this)
+    dedup = (
+        spark.sql(_pipeline_dedup_sql("spark"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    dedup.createOrReplaceTempView("dedup_docs")
+    return spark.sql(_pipeline_rest_sql("spark", "dedup_docs"))
 
 
 # ---------------------------------------------------------------------------
