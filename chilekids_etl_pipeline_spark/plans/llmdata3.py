@@ -262,6 +262,59 @@ FROM s WHERE scale > 0
 
 
 # ---------------------------------------------------------------------------
+# ViT-style patch grid plan (image preprocessing plumbing)
+
+_PATCH = 32  # patch side (pixels)
+
+
+def _patch_sql(dialect: str) -> str:
+    """Typed image metadata (width/height synthesized deterministically —
+    the corpus has no real images, exactly as media_frame_plan does for
+    video) → exploded per-patch coordinate plan."""
+    if dialect == "spark":
+        grid = (
+            f"explode(flatten(transform(sequence(0, width DIV {_PATCH} - 1), "
+            f"i -> transform(sequence(0, height DIV {_PATCH} - 1), "
+            f"j -> named_struct('px', i * {_PATCH}, 'py', j * {_PATCH})))))"
+        )
+        intdiv = "DIV"
+    else:
+        grid = (
+            f"unnest(flatten(list_transform(range(0, width // {_PATCH}), "
+            f"i -> list_transform(range(0, height // {_PATCH}), "
+            f"j -> {{'px': i * {_PATCH}, 'py': j * {_PATCH}}}))))"
+        )
+        intdiv = "//"
+    u = "u." if dialect == "spark" else "(u)."
+    return f"""
+WITH media AS (
+    SELECT doc_id,
+           224 + (doc_id % 5) * {_PATCH} AS width,
+           224 + (doc_id % 3) * {_PATCH} AS height
+    FROM documents
+),
+p AS (SELECT doc_id, width, height, {grid} AS u FROM media)
+SELECT doc_id, width, height, {u}px AS px, {u}py AS py,
+       ({u}px {intdiv} {_PATCH}) * (height {intdiv} {_PATCH})
+           + ({u}py {intdiv} {_PATCH}) AS patch_id
+FROM p
+"""
+
+
+@register("vit_patch_plan", oracle=_patch_sql("duckdb"))
+def vit_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side multimodal plumbing: typed (width, height) metadata →
+    the exploded per-patch coordinate plan a ViT-style preprocessor
+    consumes (patch_id, pixel offsets). The actual pixel crop stays with
+    the decode stubs (no codecs in this runtime); this proves the plan
+    arithmetic, the nested-sequence explode shape, and its determinism in
+    both engines. Work is linear in patches, no shuffle — the patch table
+    inherits the image partitioning, which is what the embed step wants."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_patch_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # the whole pretraining-data flow as ONE composed DAG
 
 _PIPE_BIN = 256  # packing bin size (tokens)

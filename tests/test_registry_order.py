@@ -57,6 +57,6 @@ def _is_round3(key: str) -> bool:
         "quality_classifier_score", "contamination_span",
         "stratified_sample_exact", "chunk_overlap_split",
         "embedding_quantize_int8", "dedup_lsh_recall",
-        "training_data_pipeline", "raw_quarantine",
+        "training_data_pipeline", "raw_quarantine", "vit_patch_plan",
     }
     return key in round3
