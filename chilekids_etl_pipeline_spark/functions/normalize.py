@@ -142,13 +142,18 @@ def int_from_decimal_sql(dec_col: str) -> str:
 
 # Reference format list: src/transform.py:28-34 (ISO first via dateutil,
 # then dd.mm.yyyy [hh:mm:ss], yyyy-mm-dd, mm/dd/yyyy, dd/mm/yyyy).
+# Single-letter day/month/hour patterns: like the reference's Python
+# strptime (%d, transform.py) and DuckDB's try_strptime, they accept BOTH
+# zero-padded and unpadded fields ('1.1.1999' and '01.01.1999'); the
+# two-letter forms (dd.MM) silently reject unpadded values — a real
+# divergence a fuzz against the DuckDB template caught.
 _SPARK_FORMATS = [
     None,  # ISO / default parser
-    "dd.MM.yyyy HH:mm:ss",
-    "dd.MM.yyyy",
-    "yyyy-MM-dd",
-    "MM/dd/yyyy",
-    "dd/MM/yyyy",
+    "d.M.yyyy H:m:s",
+    "d.M.yyyy",
+    "yyyy-M-d",
+    "M/d/yyyy",
+    "d/M/yyyy",
 ]
 _DUCKDB_FORMATS = [
     None,

@@ -101,6 +101,60 @@ def test_exact_variant_wins_over_normalized_fallback(spark):
     assert float(row.total_rub) == 100.0
 
 
+_TS_STYLES = [
+    lambda d, m, y, hh: f"{y}-{m:02d}-{d:02d}",
+    lambda d, m, y, hh: f"{y}-{m:02d}-{d:02d} {hh:02d}:30:05",
+    lambda d, m, y, hh: f"{d:02d}.{m:02d}.{y}",
+    lambda d, m, y, hh: f"{d:02d}.{m:02d}.{y} {hh:02d}:15:00",
+    lambda d, m, y, hh: f"{m:02d}/{d:02d}/{y}",
+    lambda d, m, y, hh: f"{d:02d}/{m:02d}/{y}",
+    lambda d, m, y, hh: f"{y}-{m:02d}-{d:02d}T{hh:02d}:00:00",
+    lambda d, m, y, hh: f" {y}-{m:02d}-{d:02d} ",
+    lambda d, m, y, hh: f"{d}.{m}.{y}",
+    lambda d, m, y, hh: "not a date",
+    lambda d, m, y, hh: "",
+]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=35),  # day incl. invalid 32-35
+            st.integers(min_value=1, max_value=15),  # month incl. invalid 13-15
+            st.integers(min_value=1999, max_value=2031),
+            st.integers(min_value=0, max_value=23),
+            st.integers(min_value=0, max_value=len(_TS_STYLES) - 1),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_timestamp_parser_matches_duckdb_on_fuzz(spark, tuples):
+    """Both engines evaluate their multi-format timestamp chain on the same
+    strings (valid, ambiguous day/month, out-of-range, garbage); results
+    must agree exactly, including NULLs for unparseable values."""
+    from chilekids_etl_pipeline_spark.functions.normalize import (
+        ts_sql_duckdb,
+        ts_sql_spark,
+    )
+
+    values = [_TS_STYLES[si](d, m, y, hh) for d, m, y, hh, si in tuples]
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [
+        None if r.v is None else str(r.v)
+        for r in df.selectExpr(f"({ts_sql_spark('s')}) AS v").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want = [
+        None if row[0] is None else str(row[0])
+        for row in con.execute(f"SELECT ({ts_sql_duckdb('s')}) FROM t").fetchall()
+    ]
+    assert got == want, list(zip(values, got, want))
+
+
 def _model_get(payload: dict, variants: list[str]) -> str | None:
     """Python model of the reference's key-variant lookup (_get,
     transform.py:108-115) under our documented null-handling: exact
