@@ -262,6 +262,76 @@ FROM s WHERE scale > 0
 
 
 # ---------------------------------------------------------------------------
+# boilerplate removal WITH reconstruction (C4-style line dedup, rebuilt)
+
+_PD_CHUNK = 10  # words per pseudo-paragraph (matches llmdata2._CHUNK)
+
+
+def _line_dedup_sql(dialect: str) -> str:
+    """paragraph_dedup only counts corpus-duplicated paragraphs; this
+    REMOVES them (keep paragraphs unique to one document) and rebuilds
+    each document's text in original order — the full C4 boilerplate
+    removal, not just the diagnosis."""
+    w = words_sql(dialect)
+    if dialect == "spark":
+        paras = (
+            f"explode(transform(sequence(1, cast(ceil(size(w) / {_PD_CHUNK}.0) AS int)), "
+            f"i -> named_struct('pos', i, 'para', "
+            f"concat_ws(' ', slice(w, (i - 1) * {_PD_CHUNK} + 1, {_PD_CHUNK})))))"
+        )
+        u = "u."
+        nonempty = "size(w) > 0"
+        rebuilt = (
+            "md5(array_join(transform(array_sort(collect_list("
+            "CASE WHEN keep THEN named_struct('pos', pos, 'para', para) END)), "
+            "x -> x.para), ' '))"
+        )
+    else:
+        paras = (
+            f"unnest(list_transform(range(1, cast(ceil(len(w) / {_PD_CHUNK}.0) AS int) + 1), "
+            f"i -> {{'pos': i, 'para': "
+            f"array_to_string(w[(i - 1) * {_PD_CHUNK} + 1 : (i - 1) * {_PD_CHUNK} + {_PD_CHUNK}], ' ')}}))"
+        )
+        u = "(u)."
+        nonempty = "len(w) > 0"
+        rebuilt = (
+            "md5(coalesce(string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos), ''))"
+        )
+    return f"""
+WITH wd AS (SELECT doc_id, {w} AS w FROM documents),
+paras AS (
+    SELECT doc_id, {u}pos AS pos, {u}para AS para
+    FROM (SELECT doc_id, {paras} AS u FROM wd WHERE {nonempty})
+),
+corpus AS (
+    SELECT md5(para) AS ph, count(DISTINCT doc_id) AS n_docs
+    FROM paras GROUP BY md5(para)
+),
+flagged AS (
+    SELECT p.doc_id, p.pos, p.para, c.n_docs = 1 AS keep
+    FROM paras p JOIN corpus c ON md5(p.para) = c.ph
+)
+SELECT doc_id,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint) AS n_dropped,
+       {rebuilt} AS rebuilt_hash
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("line_dedup_rebuild", oracle=_line_dedup_sql("duckdb"))
+def line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate REMOVAL with reconstruction: paragraphs
+    appearing in more than one document are dropped, and each document's
+    surviving text is rebuilt in original order (hash-verified against
+    the oracle's ordered string_agg). One shuffle on the paragraph hash
+    for the corpus counts, one on doc_id for the rebuild; the rebuild's
+    collect_list is per-document (bounded by doc length), never global."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_line_dedup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # ViT-style patch grid plan (image preprocessing plumbing)
 
 _PATCH = 32  # patch side (pixels)

@@ -259,3 +259,25 @@ def test_money_parser_matches_duckdb_on_fuzz(spark, values):
         ).fetchall()
     ]
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(MONEY_CHARS, min_size=0, max_size=14), min_size=1, max_size=8))
+def test_int_parser_matches_duckdb_on_fuzz(spark, values):
+    """Completes the parser-fuzz triad: the int coercion (messy string →
+    bigint truncated toward zero, via the money parse) must agree between
+    engines on arbitrary messy strings, including NULLs and negatives."""
+    from chilekids_etl_pipeline_spark.functions.normalize import int_sql
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [r.v for r in df.selectExpr(f"({int_sql('s')}) AS v").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want = [
+        row[0]
+        for row in con.execute(
+            f"SELECT ({int_sql('s', dialect='duckdb')}) FROM t"
+        ).fetchall()
+    ]
+    assert got == want, list(zip(values, got, want))
