@@ -30,7 +30,17 @@ def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int
 
 
 def incremental_normalize(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Hash, dedup within the watermark, normalize — the streaming ELT core."""
+    """Hash, dedup within the watermark, normalize — the streaming ELT core.
+
+    ``dropDuplicatesWithinWatermark``, not ``dropDuplicates``: the dedup
+    key is the content hash alone (no event-time column in the subset),
+    and plain dropDuplicates keeps such state FOREVER — an unbounded
+    state store on an unbounded stream. The WithinWatermark variant
+    evicts each hash once the watermark passes its first sighting, which
+    is the semantics the reference's seen-hash tracking has (a duplicate
+    arriving later than the lateness bound re-ingests — exactly the
+    at-least-once contract of the batch anti-join run periodically).
+    """
     canonical = F.concat(
         F.lit('{"event_type":"'),
         F.col("event_type"),
@@ -41,7 +51,9 @@ def incremental_normalize(events: DataFrame, watermark: str = "1 hour") -> DataF
         F.lit("}"),
     )
     hashed = with_payload_hash(events, canonical)
-    deduped = hashed.withWatermark("ts", watermark).dropDuplicates(["payload_hash"])
+    deduped = hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["payload_hash"]
+    )
     return deduped.select(
         F.col("event_id").alias("raw_id"),
         F.col("ts").alias("received_at"),
