@@ -73,6 +73,7 @@ EXTRA = [
     "embedding_quantize_int8",
     "training_data_pipeline",
     "raw_quarantine",
+    "line_dedup_rebuild",
 ]
 
 

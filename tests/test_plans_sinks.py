@@ -287,6 +287,41 @@ def test_llmdata3_plans_never_cartesian(spark):
     assert "LeftAnti" in _plan(QS["training_data_pipeline"](spark, SF_SMALL))
 
 
+# Queries allowed to contain a BroadcastNestedLoopJoin — every one is a
+# deliberately-tiny broadcast side: a 1-row scalar threshold/statistic
+# (q22 avg balance, q11 mean part value, KMV threshold, TF-IDF corpus
+# stats, bigram-LM vocab scalar, LSH-recall counters) or a documented
+# small-side design bound (knn's bounded query set, IVF's centroid table).
+BNLJ_ALLOWED = {
+    "q22_idle_rich_customers",
+    "q11_important_stock",
+    "approx_distinct_kmv",
+    "knn_topk_cosine",
+    "ann_ivf_cosine",
+    "tf_idf_top_terms",
+    "bigram_lm_score",
+    "dedup_lsh_recall",
+    "q15_top_supplier",
+}
+
+
+def test_catalog_wide_no_cartesian_and_bounded_bnlj(spark):
+    """The whole-catalog plan contract: NO query may plan a
+    CartesianProduct, and a BroadcastNestedLoopJoin may appear only in
+    the allowlisted queries whose broadcast side is provably tiny. A new
+    query that accidentally degenerates fails here without needing its
+    own assertion."""
+    jvm = spark._jvm
+    bad = {}
+    for name, fn in QS.items():
+        plan = _plan(fn(spark, SF_SMALL))
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            bad[name] = "unexpected BroadcastNestedLoopJoin"
+    assert not bad, bad
+
+
 def test_q16_blacklist_is_anti_join(spark):
     """Q16's NOT IN blacklist must plan as a broadcast anti join over the
     derived partsupp, never a per-row subquery or cartesian."""
