@@ -262,6 +262,88 @@ FROM s WHERE scale > 0
 
 
 # ---------------------------------------------------------------------------
+# curriculum length-bucketing via broadcast decile thresholds
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _curriculum_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    nw = f"size({w})" if dialect == "spark" else f"len({w})"
+    fracs = ", ".join(str(f) for f in _DECILES)
+    if dialect == "spark":
+        th = f"percentile(n_tokens, array({fracs}))"
+        bucket = "cast(size(filter(t, x -> x < n_tokens)) AS int)"
+    else:
+        th = f"quantile_cont(n_tokens, [{fracs}])"
+        bucket = "cast(len(list_filter(t, x -> x < n_tokens)) AS int)"
+    return f"""
+WITH toks AS (SELECT doc_id, {nw} AS n_tokens FROM documents),
+th AS (SELECT {th} AS t FROM toks)
+SELECT doc_id, n_tokens, {bucket} AS bucket
+FROM toks CROSS JOIN th
+"""
+
+
+@register("length_curriculum_buckets", oracle=_curriculum_sql("duckdb"))
+def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/length bucketing: every document assigned to its token-
+    length decile. NOT a global ntile — that is a single-partition sort of
+    the whole corpus; instead the nine exact interpolated decile
+    thresholds (Spark percentile == DuckDB quantile_cont) reduce to ONE
+    row, broadcast back, and each doc buckets with a strictly-less count
+    against the threshold array. At extreme scale the threshold agg swaps
+    to approx_percentile (t-digest) with the identical downstream shape."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_curriculum_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture allocation (data-mixing planning step)
+
+_TOKEN_BUDGET = 30_000
+
+
+def _budget_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    nw = f"size({w})" if dialect == "spark" else f"len({w})"
+    return f"""
+WITH toks AS (SELECT doc_id, source, {nw} AS n_tokens FROM documents),
+per_src AS (
+    SELECT source, count(*) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS src_tokens
+    FROM toks GROUP BY source
+),
+wts AS (
+    SELECT source, n_docs, src_tokens,
+           cast(1.0 + (ascii(right(source, 1)) % 5) / 2.0 AS double) AS weight
+    FROM per_src
+),
+tot AS (SELECT cast(sum(weight) AS double) AS wsum FROM wts)
+SELECT source, n_docs, src_tokens,
+       cast(weight / wsum AS double) AS target_frac,
+       cast(least(1.0, (weight / wsum) * {_TOKEN_BUDGET} / src_tokens)
+           AS double) AS sample_rate,
+       cast(least(1.0, (weight / wsum) * {_TOKEN_BUDGET} / src_tokens)
+           * src_tokens AS double) AS expected_tokens
+FROM wts CROSS JOIN tot
+"""
+
+
+@register("token_budget_allocator", oracle=_budget_sql("duckdb"))
+def token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-planning step BEFORE sampling: given per-source token
+    inventories and mixture weights (literals here; a config table in
+    production), derive each source's target fraction, achievable
+    per-source sampling rate (capped at 1 — a source cannot oversample),
+    and expected token yield against the global budget. One aggregation
+    per source plus a 1-row broadcast — the arithmetic
+    dataset_mixture_sample then executes per document."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_budget_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # boilerplate removal WITH reconstruction (C4-style line dedup, rebuilt)
 
 _PD_CHUNK = 10  # words per pseudo-paragraph (matches llmdata2._CHUNK)

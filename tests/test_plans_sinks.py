@@ -302,6 +302,8 @@ BNLJ_ALLOWED = {
     "bigram_lm_score",
     "dedup_lsh_recall",
     "q15_top_supplier",
+    "length_curriculum_buckets",
+    "token_budget_allocator",
 }
 
 

@@ -58,6 +58,7 @@ def _is_round3(key: str) -> bool:
         "stratified_sample_exact", "chunk_overlap_split",
         "embedding_quantize_int8", "dedup_lsh_recall",
         "training_data_pipeline", "raw_quarantine", "vit_patch_plan",
-        "line_dedup_rebuild",
+        "line_dedup_rebuild", "length_curriculum_buckets",
+        "token_budget_allocator",
     }
     return key in round3
