@@ -262,6 +262,73 @@ FROM s WHERE scale > 0
 
 
 # ---------------------------------------------------------------------------
+# URL-canonicalization dedup (crawl re-fetch elimination)
+
+
+def _url_canon_sql(dialect: str) -> str:
+    """Messy crawl URL per doc (tracking params, fragments, mixed-case
+    scheme/host, trailing slash — synthesized deterministically, same
+    shapes in both dialects), canonicalized with regexp column work:
+    lowercase scheme+host, strip utm_*/fbclid tracking params, strip
+    fragments, drop the trailing slash. Dedup keys on the canonical
+    form."""
+    cast_s = "AS string" if dialect == "spark" else "AS varchar"
+    i = "cast(doc_id AS int)"
+    messy = f"""concat(
+        CASE WHEN {i} % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+        CASE WHEN {i} % 2 = 0 THEN 'WWW.Example.com' ELSE 'www.example.com' END,
+        '/a', cast({i} % 50 {cast_s}),
+        CASE WHEN {i} % 4 = 0 THEN '/' ELSE '' END,
+        CASE WHEN {i} % 5 = 0 THEN '?utm_source=x&utm_campaign=y' ELSE '' END,
+        CASE WHEN {i} % 7 = 0 THEN '#section2' ELSE '' END)"""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    # strip fragment, then tracking params (and a dangling ? if all params
+    # were tracking); DuckDB needs the 'g' flag to match Spark's
+    # replace-all default (two tracking params in one URL)
+    stripped = (
+        f"regexp_replace(regexp_replace(regexp_replace("
+        f"u, '#.*$', ''{g}), "
+        f"'[?&](utm_[a-z]+|fbclid)=[^&#]*', ''{g}), "
+        f"'\\\\?$', ''{g})"
+    )
+    # lowercase only the scheme+host (the path stays case-sensitive per
+    # RFC 3986), then drop one trailing slash
+    head = "lower(regexp_extract(u2, '(?i)^(https?://[^/]+)', 1))"
+    tail = f"regexp_replace(u2, '(?i)^https?://[^/]+', ''{g})"
+    return f"""
+WITH urls AS (SELECT doc_id, {messy} AS u FROM documents),
+s1 AS (SELECT doc_id, {stripped} AS u2 FROM urls),
+s2 AS (
+    SELECT doc_id,
+           regexp_replace(concat({head}, {tail}), '/$', ''{g}) AS cu
+    FROM s1
+),
+grp AS (
+    SELECT doc_id, cu,
+           min(doc_id) OVER (PARTITION BY cu) AS canonical_doc_id
+    FROM s2
+)
+SELECT doc_id, cu AS canonical_url,
+       canonical_doc_id,
+       doc_id <> canonical_doc_id AS is_refetch
+FROM grp
+"""
+
+
+@register("url_canonical_dedup", oracle=_url_canon_sql("duckdb"))
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl re-fetch elimination by URL canonicalization: tracking
+    parameters, fragments, case-variant scheme/host, and trailing slashes
+    all collapse to one canonical URL, and documents dedup against the
+    min-doc_id canonical per group (one hash-window on the canonical URL,
+    the exact-dedup shape keyed on a derived column). Complements
+    url_domain_stats' caps — this removes literal re-crawls rather than
+    balancing domains."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_url_canon_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # curriculum length-bucketing via broadcast decile thresholds
 
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
