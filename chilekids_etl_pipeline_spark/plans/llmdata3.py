@@ -34,7 +34,11 @@ from .registry import register
 # regression fit on labeled good/bad documents; the weights broadcast as
 # literals into the scoring expression, so inference is one codegen'd
 # projection over the corpus — no model server, no UDF, no shuffle.
-_W0, _W_LOGN, _W_STOP, _W_AWL, _W_DIST = -2.0, 0.9, 3.5, -0.15, 1.2
+# The intercept is calibrated so the 0.5 decision boundary actually
+# splits this corpus (an earlier -2.0 intercept scored every document
+# 0.54-0.90 — a keep-all classifier filters nothing, and the pipeline's
+# quality stage was a no-op).
+_W0, _W_LOGN, _W_STOP, _W_AWL, _W_DIST = -3.2, 0.9, 3.5, -0.15, 1.2
 
 
 def _clf_sql(dialect: str) -> str:
