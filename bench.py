@@ -74,6 +74,9 @@ EXTRA = [
     "training_data_pipeline",
     "raw_quarantine",
     "line_dedup_rebuild",
+    "url_canonical_dedup",
+    "length_curriculum_buckets",
+    "scd2_history",
 ]
 
 

@@ -442,3 +442,44 @@ def raw_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resolved_pk"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 history build: change log → validity intervals
+
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, value AS attr_value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("scd2_history", oracle=_SCD2_ORACLE)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history construction from a change log: each change opens a
+    validity interval closed by the key's next change (lead over the key
+    partition); the open interval marks the current version. The
+    reference's upsert is SCD-1 (last write wins, transform.py:240-346) —
+    this is the companion shape a warehouse needs when history must be
+    queryable ("value as of T" becomes a BETWEEN valid_from/valid_to
+    range predicate). One shuffle on the business key; interval
+    construction is a single window pass, no self-join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -59,6 +59,6 @@ def _is_round3(key: str) -> bool:
         "embedding_quantize_int8", "dedup_lsh_recall",
         "training_data_pipeline", "raw_quarantine", "vit_patch_plan",
         "line_dedup_rebuild", "length_curriculum_buckets",
-        "token_budget_allocator", "url_canonical_dedup",
+        "token_budget_allocator", "url_canonical_dedup", "scd2_history",
     }
     return key in round3
