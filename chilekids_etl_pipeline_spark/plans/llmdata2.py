@@ -302,9 +302,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document and the benchmark set, flagged above 10%. The benchmark
     gram set is an equi-join side (broadcastable — eval suites are MBs
     against TBs of corpus), so the screen is one broadcast hash join plus
-    a per-doc aggregation; candidate work never exceeds grams × 1."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(words_sql("spark")).alias("warr")
+    a per-doc aggregation; candidate work never exceeds grams × 1.
+
+    The corpus side repartitions before the 8-gram explode: the local
+    test parquet is a single row group (one scan task), and the explode
+    is the CPU-heavy step — without the rebalance the whole shingling
+    runs on one core (measured 2x slower at sf0.1). On a cluster the
+    file layout provides scan splits and the exchange is one cheap
+    round-robin ahead of the dominant per-row work."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(words_sql("spark")).alias("warr"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     grams = docs.select(
         "doc_id",

@@ -293,7 +293,7 @@ def _url_canon_sql(dialect: str) -> str:
         f"regexp_replace(regexp_replace(regexp_replace("
         f"u, '#.*$', ''{g}), "
         f"'[?&](utm_[a-z]+|fbclid)=[^&#]*', ''{g}), "
-        f"'\\\\?$', ''{g})"
+        f"'[?]$', ''{g})"  # char class parses identically in Spark and DuckDB
     )
     # lowercase only the scheme+host (the path stays case-sensitive per
     # RFC 3986), then drop one trailing slash

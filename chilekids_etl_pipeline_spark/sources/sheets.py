@@ -100,6 +100,66 @@ def df_to_sheet_values(df: DataFrame, max_rows: int = 100_000) -> dict[str, Any]
     return {"values": [cols] + [[row[c] for c in cols] for row in str_df.collect()]}
 
 
+SHEET_TZ = "Asia/Yekaterinburg"  # the reference deployment's sheet zone
+
+
+def change_stamp_to_utc(col, tz: str = SHEET_TZ):
+    """Sheet-side change stamp → UTC timestamp.
+
+    Closes the loop on where ``extracted_at``/``updated_by`` come FROM:
+    the reference stamps them client-side on every edit
+    (gas/last_change.gs — column U ``last_change`` as a LOCAL-time
+    ``dd.MM.yyyy HH:mm:ss`` string in Asia/Yekaterinburg, column V
+    ``changed_by`` as the editor's email). The ELT's incremental ordering
+    (``ORDER BY extracted_at, id`` — transform.py:233) therefore depends
+    on converting that local string back to an instant: this expression
+    is that conversion, and the engine-side contract is that any sheet
+    row WITHOUT a stamp gets extraction time (records_to_raw_df stamps
+    ``current_timestamp``), so ordering never sees a null.
+    """
+    return F.to_utc_timestamp(F.to_timestamp(col, "dd.MM.yyyy HH:mm:ss"), tz)
+
+
+def assign_pks(
+    df: DataFrame,
+    pk_col: str = "pk",
+    required_cols: tuple[str, ...] = (),
+    prefix: str = "sa",
+    pad: int = 6,
+) -> DataFrame:
+    """The pk_master.gs analog: fill MISSING primary keys with
+    ``{prefix}_{N:0{pad}d}``, continuing after the highest existing
+    numeric suffix; rows whose required columns are blank stay keyless;
+    existing keys are never touched (CFG.force=false semantics).
+
+    A sheet is driver-scale by nature, but the expression stays
+    distributed anyway: one 1-row aggregate for the continuation counter
+    + a deterministic row_number over the content hash for new keys.
+    """
+    from pyspark.sql import Window
+
+    has_pk = F.col(pk_col).isNotNull() & (F.trim(F.col(pk_col)) != "")
+    eligible = F.lit(True)
+    for c in required_cols:
+        eligible = eligible & F.col(c).isNotNull() & (F.trim(F.col(c).cast("string")) != "")
+    suffix = F.regexp_extract(F.col(pk_col), f"^{prefix}_([0-9]+)$", 1)
+    start = (
+        df.select(F.max(F.when(suffix != "", suffix.cast("long"))).alias("mx"))
+        .first()[0]
+        or 0
+    )
+    needs = (~has_pk) & eligible
+    # number only the rows that need a key (partition on the flag), so new
+    # keys are consecutive after the continuation point, like the script's
+    w = Window.partitionBy(needs).orderBy(F.md5(F.to_json(F.struct(*df.columns))))
+    rn = F.row_number().over(w)
+    new_pk = F.concat(F.lit(prefix + "_"), F.lpad((F.lit(start) + rn).cast("string"), pad, "0"))
+    return df.withColumn(
+        pk_col,
+        F.when(has_pk, F.col(pk_col)).when(eligible, new_pk).otherwise(F.lit(None)),
+    )
+
+
 async def fetch_google_sheets(spreadsheet_id: str, range_name: str = "Sheet1!A:AF"):
     """Network fetch stub (reference: src/sheets.py:16). Wire a real client
     (google-api-python-client / aiohttp) in a deployment with network."""

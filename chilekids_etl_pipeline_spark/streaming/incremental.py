@@ -80,25 +80,42 @@ def merge_upsert_batch(
     target_dir: str,
     key_col: str = "raw_id",
     order_cols: tuple[str, ...] = ("received_at", "payload_hash"),
+    sink_id: str = "default",
 ):
     """foreachBatch MERGE: last-write-wins upsert of each micro-batch into
     a keyed parquet target — the streaming twin of ``staging_upsert``
     (the reference's ``ON CONFLICT (raw_id) DO UPDATE``,
     src/transform.py:240-346, run continuously instead of per poll).
 
-    Exactly-once under restart: every batch stamps its ``batch_id`` into
-    the target, and a REPLAYED batch (crash between sink write and
+    Exactly-once under restart: every batch stamps ``(sink_id, batch_id)``
+    into the target, and a REPLAYED batch (crash between sink write and
     checkpoint commit — Structured Streaming re-runs the last uncommitted
     batch with the SAME id) is detected and skipped, so the upsert never
-    double-applies. The swap of the rewritten target is atomic (write to
-    tmp, rename), so a crash mid-write leaves the previous target intact.
+    double-applies. Replay detection is keyed on the sink identity, not
+    the batch id alone: a query restarted with a FRESH checkpoint resets
+    batch ids to 0, and comparing bare ids against an existing target
+    would silently skip every new batch (Delta's idempotent sinks key on
+    (appId, batch) for the same reason). ``start_upsert_sink`` derives
+    ``sink_id`` from the checkpoint path, coupling the two lifetimes.
 
-    On a Delta/Iceberg runtime this whole body is
-    ``MERGE INTO target USING batch ON target.key = batch.key`` — the
-    parquet rewrite is the portable stand-in (and the window dedup below
-    is exactly the shuffle MERGE performs on the key). Within one batch,
-    ``order_cols`` (descending) pick the winner per key; across batches
-    the newer batch wins.
+    Crash-safety of the swap (write tmp → rename target→old →
+    rename tmp→target → remove old), recovered on entry:
+
+    - crash mid-write: previous target intact, stale tmp removed here;
+    - crash between the two renames: target missing but ``.old`` holds
+      the pre-crash state — restored on entry, so the replayed batch
+      re-merges against it instead of seeing an empty target;
+    - crash after the swap but before cleanup: stale non-empty ``.old``
+      removed on entry (otherwise the next swap's rename would fail
+      ENOTEMPTY and wedge the sink).
+
+    Single-writer assumption (one streaming query owns ``target_dir``),
+    same as any non-transactional file sink. On a Delta/Iceberg runtime
+    this whole body is ``MERGE INTO target USING batch ON target.key =
+    batch.key`` — the parquet rewrite is the portable stand-in (and the
+    window dedup below is exactly the shuffle MERGE performs on the key).
+    Within one batch, ``order_cols`` (descending) pick the winner per
+    key; across batches the newer batch wins.
     """
     import os
     import shutil
@@ -107,16 +124,36 @@ def merge_upsert_batch(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        stamped = batch.withColumn("_batch_id", F.lit(int(batch_id)))
+        tmp = target_dir + ".tmp"
+        old = target_dir + ".old"
+        # recover from a crash window of a previous swap (see docstring)
+        if not os.path.exists(target_dir) and os.path.exists(old):
+            os.rename(old, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        stamped = batch.withColumn("_batch_id", F.lit(int(batch_id))).withColumn(
+            "_sink_id", F.lit(sink_id)
+        )
         if os.path.exists(target_dir):
             cur = spark.read.parquet(target_dir)
-            applied = cur.agg(F.max("_batch_id")).first()[0]
+            if "_sink_id" not in cur.columns:  # pre-sink_id target layout
+                cur = cur.withColumn("_sink_id", F.lit(sink_id))
+            applied = (
+                cur.filter(F.col("_sink_id") == sink_id)
+                .agg(F.max("_batch_id"))
+                .first()[0]
+            )
             if applied is not None and applied >= batch_id:
-                return  # replayed batch: already absorbed, skip
+                return  # replayed batch for THIS sink: already absorbed
             merged = cur.unionByName(stamped)
         else:
             merged = stamped
+        # Batch ids are only ordered WITHIN a sink lifetime; rows inherited
+        # from a previous checkpoint/sink may carry arbitrarily high ids,
+        # so the current writer outranks them first, then id, then payload
+        # order — wall-clock last-write-wins across checkpoint resets.
         w = Window.partitionBy(key_col).orderBy(
+            (F.col("_sink_id") == sink_id).desc(),
             F.col("_batch_id").desc(),
             *[F.col(c).desc() for c in order_cols],
         )
@@ -125,9 +162,6 @@ def merge_upsert_batch(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        tmp = target_dir + ".tmp"
-        old = target_dir + ".old"
-        shutil.rmtree(tmp, ignore_errors=True)
         result.write.mode("overwrite").parquet(tmp)  # materializes the read
         if os.path.exists(target_dir):
             os.rename(target_dir, old)
@@ -135,6 +169,14 @@ def merge_upsert_batch(
         shutil.rmtree(old, ignore_errors=True)
 
     return _merge
+
+
+def sink_id_for(checkpoint_dir: str) -> str:
+    """Stable sink identity for a checkpoint location — the replay-guard
+    key that couples target and checkpoint lifetimes."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
 
 def start_upsert_sink(
@@ -145,9 +187,16 @@ def start_upsert_sink(
 ):
     """Continuous keyed upsert into ``target_dir`` with checkpointed
     progress — the full streaming mirror of the reference's ingest loop
-    (poll → normalize → upsert), restartable at the last committed batch."""
+    (poll → normalize → upsert), restartable at the last committed batch.
+
+    The sink identity is derived from the checkpoint path: batch ids are
+    only meaningful per checkpoint, so replay detection must be keyed on
+    (checkpoint, batch) — see ``merge_upsert_batch``."""
+    sink_id = sink_id_for(checkpoint_dir)
     return (
-        normalized.writeStream.foreachBatch(merge_upsert_batch(target_dir, key_col))
+        normalized.writeStream.foreachBatch(
+            merge_upsert_batch(target_dir, key_col, sink_id=sink_id)
+        )
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -304,6 +304,12 @@ BNLJ_ALLOWED = {
     "q15_top_supplier",
     "length_curriculum_buckets",
     "token_budget_allocator",
+    # round 4: 1-row scalar broadcasts (total-count / weight-sum /
+    # max-doc-id) and semantic_dedup's 8-row centroid table (the IVF
+    # coarse-quantizer pattern, same as ann_ivf_cosine)
+    "mixture_temperature_plan",
+    "vocab_growth_curve",
+    "semantic_dedup",
 }
 
 

@@ -77,6 +77,34 @@ def test_lsh_recall_is_high_precision_partial(con):
     assert d.n_hits <= min(d.n_exact, d.n_cand)
 
 
+def test_contamination_span_finds_long_runs_in_few_docs(con):
+    d = con.execute(_oracle("contamination_span")).fetchdf()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    # only contaminated docs appear, and they are a small minority
+    assert 0 < len(d) < 0.1 * n_docs
+    # the span arithmetic is internally consistent (span = run + N-1 words)
+    assert (d.max_span_words == d.max_run + 7).all()
+    assert (d.max_run <= d.n_contam_grams).all()
+    # the benchmark docs themselves are verbatim-contaminated → long runs,
+    # not scattered single-gram noise (the thing the SPAN rule exists for)
+    assert d.max_run.max() >= 10
+    bench_ids = {i for i in d.doc_id if int(i) % 97 == 0}
+    assert bench_ids, "no benchmark doc was flagged against its own grams"
+
+
+def test_token_budget_allocator_budget_and_cap_both_bite(con):
+    d = con.execute(_oracle("token_budget_allocator")).fetchdf()
+    assert abs(d.target_frac.sum() - 1.0) < 1e-9
+    assert ((d.sample_rate > 0) & (d.sample_rate <= 1)).all()
+    # non-degenerate mixture: weights vary, some sources hit the rate cap
+    # (cannot oversample) while others are budget-limited below 1
+    assert d.target_frac.nunique() > 1
+    assert (d.sample_rate == 1.0).any() and (d.sample_rate < 1.0).any()
+    # expected yield never exceeds the inventory, and equals rate×inventory
+    assert (d.expected_tokens <= d.src_tokens + 1e-6).all()
+    assert (abs(d.expected_tokens - d.sample_rate * d.src_tokens) < 1e-6).all()
+
+
 def test_pipeline_stages_each_do_work(con):
     """Every curation stage must discard something on this corpus: the
     final packed set is smaller than the raw corpus, and smaller than the

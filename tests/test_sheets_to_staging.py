@@ -60,6 +60,50 @@ def test_sheet_values_through_staging(spark):
     assert r4.financial_missing_total is False  # 'Прочее' is not financial
 
 
+def test_change_stamp_synthesis_and_pk_assignment(spark):
+    """Where extracted_at/updated_by ORIGINATE: the reference stamps them
+    sheet-side on every edit (gas/last_change.gs — local-time
+    'dd.MM.yyyy HH:mm:ss' in Asia/Yekaterinburg + editor email), and
+    pk_master.gs backfills 'sa_000NNN' keys for rows whose required
+    columns are non-empty. This pins the engine-side synthesis of both:
+    the stamp converts to the correct UTC instant (Yekaterinburg = UTC+5,
+    no DST), and PK assignment continues after the highest existing
+    suffix, numbers new keys consecutively, skips ineligible rows, and
+    never touches existing keys."""
+    import pyspark.sql.functions as F
+
+    from chilekids_etl_pipeline_spark.sources.sheets import (
+        assign_pks,
+        change_stamp_to_utc,
+    )
+
+    stamps = spark.createDataFrame(
+        [("15.03.2023 14:30:00",), ("01.01.2024 00:00:00",), (None,)],
+        "last_change string",
+    ).select(change_stamp_to_utc(F.col("last_change")).alias("ts"))
+    got = [str(r.ts) for r in stamps.collect()]
+    # 14:30 Yekaterinburg == 09:30 UTC; midnight == 19:00 prev day UTC
+    assert got[0] == "2023-03-15 09:30:00"
+    assert got[1] == "2023-12-31 19:00:00"
+    assert got[2] == "None"  # no stamp → null; caller supplies extract time
+
+    df = spark.createDataFrame(
+        [
+            ("sa_000007", "a", "b"),   # existing key: untouched
+            ("", "c", "d"),            # blank key, eligible → new key
+            (None, "e", "f"),          # null key, eligible → new key
+            (None, "", "g"),           # required col blank → stays keyless
+        ],
+        "pk string, col_a string, col_b string",
+    )
+    out = assign_pks(df, required_cols=("col_a", "col_b"))
+    rows = {r.col_a: r.pk for r in out.collect()}
+    assert rows["a"] == "sa_000007"
+    assert rows[""] is None
+    new = sorted([rows["c"], rows["e"]])
+    assert new == ["sa_000008", "sa_000009"]  # consecutive after the max
+
+
 NOVEL_VALUES = [
     # headers no variant list enumerates: resolvable only via the reference's
     # normalized (lowercase, space-stripped) arbitrary-key fallback

@@ -261,15 +261,85 @@ def test_foreachbatch_upsert_sink_restart_and_replay(spark, tmp_path):
 
     # replay: re-deliver an already-absorbed batch id directly — the merge
     # must detect it in the target and skip (idempotent under the
-    # crash-between-write-and-commit window)
+    # crash-between-write-and-commit window). The replay carries the SAME
+    # sink identity (same checkpoint) — that is what the guard keys on.
+    from chilekids_etl_pipeline_spark.streaming.incremental import sink_id_for
+
     applied = spark.read.parquet(target)
     max_bid = applied.agg(F.max("_batch_id")).first()[0]
     replay = applied.filter(F.col("raw_id") == 2).withColumn(
         "amount", F.lit(99.0).cast("decimal(10,2)")
-    ).drop("_batch_id")
-    merge_upsert_batch(target)(replay, max_bid)
+    ).drop("_batch_id", "_sink_id")
+    merge_upsert_batch(target, sink_id=sink_id_for(ckpt))(replay, max_bid)
     got = {r.raw_id: float(r.amount) for r in spark.read.parquet(target).collect()}
     assert got[2] == 21.0  # unchanged: replayed batch skipped
+
+
+def test_upsert_sink_crash_recovery_and_fresh_checkpoint(spark, tmp_path):
+    """The upsert sink's two crash windows and the checkpoint-reset case:
+
+    (a) crash BETWEEN the two renames (target gone, .old holds state) —
+        the next merge must restore .old and re-merge against it, not
+        start from an empty target;
+    (b) crash AFTER the swap but before cleanup (stale non-empty .old
+        beside a live target) — the next merge must clear it instead of
+        failing ENOTEMPTY on its own rename;
+    (c) a query restarted with a FRESH checkpoint (batch ids reset to 0)
+        against an existing target must still apply — replay detection is
+        keyed on (sink_id, batch_id), not batch_id alone — and its rows
+        must WIN on key conflict despite the lower batch id."""
+    import os
+    import shutil
+
+    from chilekids_etl_pipeline_spark.streaming.incremental import (
+        merge_upsert_batch,
+    )
+
+    target = str(tmp_path / "target")
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "raw_id long, received_at timestamp, payload_hash string, amount double"
+        )
+
+    import datetime as dt
+
+    def row(k, amount, h="h"):
+        return (k, dt.datetime(2024, 1, 1, 10), f"{h}{k}", amount)
+
+    merge_a = merge_upsert_batch(target, sink_id="ckpt-a")
+    merge_a(frame([row(1, 10.0), row(2, 20.0)]), 0)
+    merge_a(frame([row(2, 21.0)]), 1)
+    got = {r.raw_id: r.amount for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 21.0}
+
+    # (a) simulate the crash between os.rename(target, old) and
+    # os.rename(tmp, target): target missing, .old holds the state
+    os.rename(target, target + ".old")
+    merge_a(frame([row(3, 30.0)]), 2)
+    got = {r.raw_id: r.amount for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 21.0, 3: 30.0}, "pre-crash state was lost"
+    assert not os.path.exists(target + ".old")
+
+    # (b) stale non-empty .old beside a live target (crash after swap,
+    # before rmtree) — must not wedge the next merge
+    shutil.copytree(target, target + ".old")
+    merge_a(frame([row(4, 40.0)]), 3)
+    got = {r.raw_id: r.amount for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
+    assert not os.path.exists(target + ".old")
+
+    # (c) fresh checkpoint: batch id 0 again, new sink identity — must
+    # apply (bare-id comparison would skip it: 0 < 3) and must win key 2
+    merge_b = merge_upsert_batch(target, sink_id="ckpt-b")
+    merge_b(frame([row(2, 99.0)]), 0)
+    got = {r.raw_id: r.amount for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+    # and merge_b's OWN replay guard still works at its batch 0
+    merge_b(frame([row(2, 77.0)]), 0)
+    got = {r.raw_id: r.amount for r in spark.read.parquet(target).collect()}
+    assert got[2] == 99.0, "replayed batch 0 of the new sink double-applied"
 
 
 def test_stream_stream_interval_join_matches_batch(spark, event_drops):
