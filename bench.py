@@ -84,6 +84,13 @@ EXTRA = [
     "domain_authority",
     "skewed_join_salted",
     "multi_touch_attribution",
+    # round-4 batch 2 (containment/profile/basket family)
+    "minhash_containment",
+    "market_basket_pairs",
+    "rfm_segmentation",
+    "order_backlog_daily",
+    "dq_profile",
+    "corpus_drift_js",
 ]
 
 

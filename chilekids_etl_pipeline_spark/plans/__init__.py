@@ -13,4 +13,4 @@ def load_all() -> None:
     front in round N+1 (tests/test_registry_order.py enforces this from
     the union of green CORRECTNESS_r*.json rows).
     """
-    from . import llmdata3, elt, llmdata4, analytics4, marts, analytics, analytics2, analytics3, staging, scale, tpch, llmdata, llmdata2  # noqa: F401
+    from . import llmdata3, elt, llmdata4, analytics4, llmdata5, analytics5, marts, analytics, analytics2, analytics3, staging, scale, tpch, llmdata, llmdata2  # noqa: F401

@@ -310,6 +310,15 @@ BNLJ_ALLOWED = {
     "mixture_temperature_plan",
     "vocab_growth_curve",
     "semantic_dedup",
+    # round-4 batch 2: all 1-row scalar broadcasts — corpus doc count
+    # (containment df cap), max-doc-id + token totals (drift halves),
+    # RI violation counters (dq), distinct-order count (basket lift),
+    # the 1-row ref-date and quartile-threshold rows (RFM)
+    "minhash_containment",
+    "corpus_drift_js",
+    "dq_expectations",
+    "market_basket_pairs",
+    "rfm_segmentation",
 }
 
 

@@ -117,3 +117,81 @@ def test_pipeline_stages_each_do_work(con):
     n_dedup = len(con.execute(_pipeline_dedup_sql("duckdb")).fetchdf())
     assert n_dedup < n_docs  # quality filter + dedup dropped something
     assert len(out) <= n_dedup
+
+
+def test_containment_finds_planted_prefixes(con):
+    """Every planted prefix twin (id + 200000) with enough filtered
+    shingles must pair with its source at containment 1.0, and the
+    detector must not fire on everything."""
+    d = con.execute(_oracle("minhash_containment")).fetchdf()
+    planted = d[(d.doc_b - d.doc_a) == 200000]
+    assert len(planted) > 0
+    assert (planted.containment >= 0.999).all()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(d) < n_docs  # not a fire-on-everything degenerate
+
+
+def test_dup_cluster_histogram_shape(con):
+    """Planted copies must produce exactly the size-1/2/3 clusters the
+    fixture implies, and removable counts must reconcile."""
+    d = con.execute(_oracle("exact_dup_clusters")).fetchdf().set_index("cluster_size")
+    assert set(d.index) == {1, 2, 3}
+    assert (d.n_removable == (d.index - 1) * d.n_clusters).all()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    # every doc lands in exactly one cluster (incl. planted +300k/+600k)
+    assert d.n_docs.sum() > n_docs
+
+
+def test_audio_chunks_stay_in_bounds(con):
+    d = con.execute(_oracle("audio_chunk_plan")).fetchdf()
+    assert (d.start_sample < d.n_samples).all()
+    assert (d.end_sample <= d.n_samples).all()
+    assert (d.end_sample > d.start_sample).all()
+    assert d.n_chunks.max() > 1  # the explode actually explodes
+    # chunk_idx is dense 0..n_chunks-1 per doc
+    g = d.groupby("doc_id").agg(n=("chunk_idx", "size"), mx=("chunk_idx", "max"))
+    assert (g.n == g.mx + 1).all()
+
+
+def test_dq_expectations_detect_and_pass(con):
+    """The deliberately-failing date-window check must report violations;
+    the structural checks (PK, RI) must pass on the clean synthetic data
+    — i.e. the checker can both fail and pass."""
+    d = con.execute(_oracle("dq_expectations")).fetchdf().set_index("check_name")
+    assert not d.loc["orders_date_before_2001", "passed"]
+    assert d.loc["orders_date_before_2001", "n_violations"] > 0
+    assert d.loc["orders_pk_unique", "passed"]
+    assert d.loc["orders_custkey_references_customer", "passed"]
+    assert d.loc["lineitem_orderkey_references_orders", "passed"]
+
+
+def test_rfm_scores_and_segments_carry_signal(con):
+    d = con.execute(_oracle("rfm_segmentation")).fetchdf()
+    for c in ("r_score", "f_score", "m_score"):
+        assert d[c].between(1, 4).all()
+        assert d[c].nunique() > 1, f"degenerate {c}"
+    assert d.segment.nunique() >= 3
+
+
+def test_basket_lift_spreads_around_one(con):
+    """Independent brands hover near lift 1; the probe pins that the
+    statistic is computed (spread exists) and uses the right scale."""
+    d = con.execute(_oracle("market_basket_pairs")).fetchdf()
+    assert (d.n_cooc >= 2).all()
+    assert 0.2 < d.lift.median() < 5
+    assert d.lift.max() > d.lift.min()
+
+
+def test_backlog_never_negative_and_returns_to_zero(con):
+    d = con.execute(_oracle("order_backlog_daily")).fetchdf().sort_values("d")
+    assert (d.open_orders >= 0).all()
+    assert d.open_orders.iloc[-1] == 0  # every order eventually ships
+    assert d.open_orders.max() > 10  # intervals genuinely overlap
+
+
+def test_drift_js_in_valid_range(con):
+    d = con.execute(_oracle("corpus_drift_js")).fetchdf().iloc[0]
+    import math
+
+    assert 0 <= d.js_divergence <= math.log(2) + 1e-9
+    assert 0 < d.vocab_shared <= min(d.vocab_early, d.vocab_late)

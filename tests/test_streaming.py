@@ -378,3 +378,85 @@ def test_stream_stream_interval_join_matches_batch(spark, event_drops):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_quality_gate_routes_and_audits(spark, tmp_path):
+    """The continuous DQ gate: planted bad rows (null id, bad type,
+    negative value) land in quarantine tagged with exactly the checks
+    they fail; clean rows pass through untouched; the per-batch audit
+    reconciles with the routing."""
+    import json as _json
+
+    from chilekids_etl_pipeline_spark.streaming.incremental import read_event_stream
+    from chilekids_etl_pipeline_spark.streaming.quality_gate import (
+        event_expectations,
+        start_quality_gate,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T00:{i:02d}:00",
+                "user_id": i % 5,
+                "event_type": "view",
+                "value": float(i),
+                "props": "{}",
+            }
+        )
+    # planted violations
+    rows[3]["event_id"] = None                     # id missing
+    rows[7]["event_type"] = "teleport"             # out of domain
+    rows[11]["value"] = -5.0                       # negative value
+    rows[13]["event_type"] = "teleport"            # out of domain AND...
+    rows[13]["value"] = -1.0                       # ...negative
+    with open(drops / "d0.json", "w") as f:
+        for r in rows[:20]:
+            f.write(_json.dumps(r) + "\n")
+    with open(drops / "d1.json", "w") as f:
+        for r in rows[20:]:
+            f.write(_json.dumps(r) + "\n")
+
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quarantine")
+    audit_dir = str(tmp_path / "audit")
+    stream = read_event_stream(spark, str(drops), max_files_per_trigger=1)
+    q = start_quality_gate(
+        stream,
+        event_expectations(),
+        good_dir,
+        quar_dir,
+        audit_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(good_dir).toPandas()
+    bad = spark.read.parquet(quar_dir).toPandas()
+    audit = spark.read.parquet(audit_dir).toPandas()
+
+    assert len(good) + len(bad) == 40
+    assert len(bad) == 4
+    by_id = {r.event_id: r.failed_checks for r in bad.itertuples()}
+    assert by_id[7.0] == "event_type_in_domain"
+    assert by_id[11.0] == "value_non_negative"
+    assert set(by_id[13.0].split(",")) == {
+        "event_type_in_domain",
+        "value_non_negative",
+    }
+    null_row = bad[bad.event_id.isna()]
+    assert len(null_row) == 1
+    assert null_row.iloc[0].failed_checks == "event_id_present"
+    # good rows carry no gate column and none of the planted ids
+    assert "failed_checks" not in good.columns
+    assert not set(good.event_id) & {7, 11, 13}
+
+    # audit reconciles: per-check violation totals across batches match
+    totals = audit.groupby("check_name").n_violations.sum()
+    assert totals["event_id_present"] == 1
+    assert totals["event_type_in_domain"] == 2
+    assert totals["value_non_negative"] == 2
+    assert audit.groupby("_batch_id").n_checked.max().sum() == 40
