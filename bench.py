@@ -91,6 +91,10 @@ EXTRA = [
     "order_backlog_daily",
     "dq_profile",
     "corpus_drift_js",
+    "cdc_apply",
+    "table_snapshot_diff",
+    "anomaly_mad_robust",
+    "hll_distinct_portable",
 ]
 
 

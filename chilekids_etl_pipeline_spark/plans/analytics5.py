@@ -235,3 +235,243 @@ def funnel_time_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     — fully portable, no floating aggregation."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_convert_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: materialize a change-data-capture log onto a snapshot
+
+def _cdc_sql(dialect: str) -> str:
+    return """
+WITH log AS (
+    SELECT o_orderkey AS key, 1 AS seq, 'I' AS op,
+           cast(o_totalprice AS decimal(18, 2)) AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 2, 'U',
+           cast(o_totalprice AS decimal(18, 2)) + cast(10 AS decimal(18, 2))
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 13 = 0
+),
+latest AS (
+    SELECT key, seq, op, price,
+           row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM log
+)
+SELECT key, op AS last_op, cast(price AS double) AS price,
+       cast(seq AS bigint) AS version
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("cdc_apply", oracle=_cdc_sql("duckdb"))
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: a Debezium-shaped I/U/D log
+    (synthesized deterministically from orders: every 7th key updated,
+    every 13th deleted) collapses to the final snapshot — last operation
+    per key wins, deletes drop the row. This is the read-side of the
+    reference's ON CONFLICT upsert generalized to full CDC, and the
+    exact shape a MERGE INTO executes on a table format. One
+    row_number window per key (single hash shuffle); updates arithmetic
+    stays in decimal so the applied value is exact."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_cdc_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / reconciliation
+
+def _snapdiff_sql(dialect: str) -> str:
+    return """
+WITH snap_b AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 17 <> 0
+    UNION ALL
+    SELECT c_custkey + 500000, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 23 = 0
+),
+joined AS (
+    SELECT coalesce(a.c_custkey, b.c_custkey) AS key,
+           a.c_custkey AS ka, b.c_custkey AS kb,
+           a.c_acctbal AS bal_a, b.c_acctbal AS bal_b,
+           CASE WHEN a.c_custkey IS NULL THEN 'added'
+                WHEN b.c_custkey IS NULL THEN 'removed'
+                WHEN a.c_acctbal <> b.c_acctbal
+                     OR a.c_name <> b.c_name
+                     OR a.c_nationkey <> b.c_nationkey
+                     OR a.c_mktsegment <> b.c_mktsegment THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM customer a FULL OUTER JOIN snap_b b ON a.c_custkey = b.c_custkey
+)
+SELECT key, change_type,
+       cast(bal_a AS double) AS old_acctbal,
+       cast(bal_b AS double) AS new_acctbal
+FROM joined WHERE change_type <> 'unchanged'
+"""
+
+
+@register("table_snapshot_diff", oracle=_snapdiff_sql("duckdb"))
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation: diff two snapshots of the customer dimension
+    (snapshot B synthesized with planted changes: +100 balance on every
+    11th key, every 17th key deleted, every 23rd re-inserted under a new
+    key) into added/removed/changed rows — the data-diff every migration
+    and replication pipeline runs before cutover. One full outer join on
+    the key (hash-partitioned both sides; at scale both snapshots bucket
+    on the key and the join is shuffle-free); row equality compares the
+    business columns directly so a changed row names its old/new values."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_snapdiff_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outlier profile
+
+_MAD_K = 1.4826  # consistency constant: MAD × k estimates sigma under normality
+
+
+def _mad_sql(dialect: str) -> str:
+    med = (
+        "percentile({c}, 0.5)" if dialect == "spark" else "quantile_cont({c}, 0.5)"
+    )
+    return f"""
+WITH med AS (
+    SELECT event_type, {med.format(c='value')} AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, {med.format(c='adev')} AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       cast(count(*) AS bigint) AS n,
+       min(d.med) AS med,
+       min(m.mad) AS mad,
+       cast(sum(CASE WHEN d.adev > 3 * {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS bigint) AS n_flagged,
+       sum(CASE WHEN d.adev > 3 * {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+           / cast(count(*) AS double) AS flag_frac
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("anomaly_mad_robust", oracle=_mad_sql("duckdb"))
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median + MAD (median
+    absolute deviation) instead of mean + stddev — the estimator that
+    does NOT move when the outliers it hunts contaminate it (the z-score
+    entry events_value_outliers is its fragile twin; a single 1e9 spike
+    inflates sigma and masks every other anomaly, while MAD holds). Two
+    median aggregations over the 5-type grouping and one re-join of the
+    tiny per-type statistics (broadcast); the fact table is scanned
+    twice — at scale the first projection persists, or median swaps to
+    approx_percentile in one pass."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mad_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# engine-portable HyperLogLog distinct sketch
+
+_HLL_M = 256          # registers (b = 8 index bits)
+_HLL_WBITS = 56       # remaining digest bits fed to the rank
+# fixed-point unit for the harmonic sum: 2^53 so the worst-case total
+# (m empty registers × the unit = 2^61) stays inside int64; rho > 53
+# truncates to 0 identically in both engines (probability 2^-53 per row)
+_HLL_POW = 1 << 53
+
+
+def _hll_sql(dialect: str) -> str:
+    s = "string" if dialect == "spark" else "varchar"
+    if dialect == "spark":
+        bucket = "cast(conv(substr(h, 1, 2), 16, 10) AS int)"
+        w = "cast(conv(substr(h, 3, 14), 16, 10) AS bigint)"
+        shifted = f"shiftright(cast({_HLL_POW} AS bigint), r)"
+    else:
+        bucket = "cast(('0x' || substr(h, 1, 2)) AS bigint)"
+        w = "cast(('0x' || substr(h, 3, 14)) AS bigint)"
+        shifted = f"({_HLL_POW} >> r)"
+    # every literal forced to double: bare decimal literals parse as
+    # DECIMAL in both engines but with different precision/rounding
+    # rules, so the mixed arithmetic diverges at sf where the raw
+    # (non-linear-counting) branch is taken
+    alpha_m2 = (
+        f"(cast(0.7213 AS double) / (cast(1.0 AS double) "
+        f"+ cast(1.079 AS double) / {_HLL_M})) * {_HLL_M} * {_HLL_M}"
+    )
+    return f"""
+WITH hashed AS (
+    SELECT event_type, md5(cast(user_id AS {s})) AS h FROM events
+),
+parts AS (
+    SELECT event_type, {bucket} AS bucket, {w} AS w FROM hashed
+),
+ranks AS (
+    SELECT event_type, bucket,
+           CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                ELSE {_HLL_WBITS} - length(bin(w)) + 1 END AS rho
+    FROM parts
+),
+regs AS (
+    SELECT event_type, bucket, max(rho) AS r
+    FROM ranks GROUP BY event_type, bucket
+),
+sums AS (
+    SELECT event_type,
+           cast(count(*) AS bigint) AS n_present,
+           cast(sum({shifted}) AS bigint) AS present_sum
+    FROM regs GROUP BY event_type
+),
+est AS (
+    SELECT event_type, n_present,
+           present_sum + ({_HLL_M} - n_present) * cast({_HLL_POW} AS bigint)
+               AS harmonic_fp,
+           {_HLL_M} - n_present AS zeros
+    FROM sums
+),
+raw AS (
+    SELECT event_type, n_present, zeros,
+           ({alpha_m2}) * {_HLL_POW} / cast(harmonic_fp AS double) AS raw_est
+    FROM est
+),
+final AS (
+    SELECT event_type, n_present,
+           CASE WHEN raw_est <= cast(2.5 AS double) * {_HLL_M} AND zeros > 0
+                THEN {_HLL_M} * ln({_HLL_M} / cast(zeros AS double))
+                ELSE raw_est END AS hll_estimate
+    FROM raw
+),
+exact AS (
+    SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS n_exact
+    FROM events GROUP BY event_type
+)
+SELECT f.event_type, e.n_exact, f.n_present, f.hll_estimate,
+       abs(f.hll_estimate - e.n_exact) / cast(e.n_exact AS double) AS rel_error
+FROM final f JOIN exact e ON f.event_type = e.event_type
+"""
+
+
+@register("hll_distinct_portable", oracle=_hll_sql("duckdb"))
+def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch built entirely from portable
+    expressions: md5 → 8-bit register index + 56-bit rank field, rho
+    from the binary-string length (bin() is identical in both engines),
+    registers merged with max, and the harmonic mean summed in FIXED
+    POINT (2^57 >> rho is exact integer arithmetic — a double 2^-rho sum
+    would be order-dependent across engines); small-range linear
+    counting applies below 2.5m. This is the KMV entry's
+    (approx_distinct_kmv) industry-standard sibling and the sketch
+    behind approx_count_distinct — here with the register table exposed,
+    which is what makes it MERGEABLE: per-partition register maxima
+    combine associatively, so at 100 TB the sketch rolls up without
+    re-scanning (the exact side is only the test's ground truth)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hll_sql("spark"))

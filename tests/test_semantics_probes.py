@@ -195,3 +195,42 @@ def test_drift_js_in_valid_range(con):
 
     assert 0 <= d.js_divergence <= math.log(2) + 1e-9
     assert 0 < d.vocab_shared <= min(d.vocab_early, d.vocab_late)
+
+
+def test_cdc_apply_deletes_and_updates_bite(con):
+    """Every 13th key must be gone, every surviving 7th-key row must
+    carry the updated price and version 2."""
+    d = con.execute(_oracle("cdc_apply")).fetchdf()
+    assert not (d.key % 13 == 0).any()
+    upd = d[d.key % 7 == 0]
+    assert len(upd) > 0
+    assert (upd.last_op == "U").all() and (upd.version == 2).all()
+    ins = d[(d.key % 7 != 0)]
+    assert (ins.last_op == "I").all() and (ins.version == 1).all()
+
+
+def test_snapshot_diff_finds_planted_changes_only(con):
+    d = con.execute(_oracle("table_snapshot_diff")).fetchdf()
+    by = d.groupby("change_type").size()
+    assert set(by.index) == {"added", "removed", "changed"}
+    ch = d[d.change_type == "changed"]
+    assert (abs((ch.new_acctbal - ch.old_acctbal) - 100.0) < 1e-6).all()
+    assert (d[d.change_type == "added"].key >= 500000).all()
+    assert (d[d.change_type == "removed"].key % 17 == 0).all()
+
+
+def test_mad_profile_flags_minority(con):
+    d = con.execute(_oracle("anomaly_mad_robust")).fetchdf()
+    assert (d.mad > 0).all()
+    assert (d.flag_frac > 0).any()  # detector fires somewhere
+    assert (d.flag_frac < 0.15).all()  # ... but on a minority
+
+
+def test_hll_estimate_within_sketch_error(con):
+    """256 registers -> theoretical RSE ~1.04/sqrt(256) = 6.5%; allow
+    3 sigma. Also: registers never exceed m and the estimate is
+    positive."""
+    d = con.execute(_oracle("hll_distinct_portable")).fetchdf()
+    assert (d.n_present <= 256).all()
+    assert (d.hll_estimate > 0).all()
+    assert (d.rel_error < 0.20).all()
