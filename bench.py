@@ -95,6 +95,8 @@ EXTRA = [
     "table_snapshot_diff",
     "anomaly_mad_robust",
     "hll_distinct_portable",
+    "bm25_score",
+    "inverted_index_build",
 ]
 
 

@@ -483,3 +483,118 @@ def corpus_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     reformulation exists for p·ln(p/m)."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_drift_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("join", "window", "merge")
+
+
+def _bm25_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    nw = f"size({w})" if dialect == "spark" else f"len({w})"
+    ex = "explode" if dialect == "spark" else "unnest"
+    qlist = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    k1 = f"cast({_BM25_K1} AS double)"
+    b = f"cast({_BM25_B} AS double)"
+    return f"""
+WITH doclen AS (
+    SELECT doc_id, cast({nw} AS bigint) AS dl FROM documents
+),
+corpus AS (
+    SELECT cast(count(*) AS bigint) AS n,
+           sum(dl) / cast(count(*) AS double) AS avgdl
+    FROM doclen
+),
+hits AS (
+    SELECT doc_id, {ex}({w}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, cast(count(*) AS bigint) AS tf
+    FROM hits WHERE term IN ({qlist})
+    GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY term
+),
+scored AS (
+    SELECT t.doc_id, t.term,
+           ln(cast(1 AS double) + (c.n - d.df + cast(0.5 AS double))
+              / (d.df + cast(0.5 AS double)))
+           * (t.tf * ({k1} + 1))
+           / (t.tf + {k1} * (1 - {b} + {b} * l.dl / c.avgdl)) AS term_score
+    FROM tf t
+    JOIN df d ON t.term = d.term
+    JOIN doclen l ON t.doc_id = l.doc_id
+    CROSS JOIN corpus c
+)
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_match_terms,
+       sum(term_score) AS bm25
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bm25_score", oracle=_bm25_sql("duckdb"))
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed query-term
+    set — the retrieval primitive behind search-based decontamination
+    and retrieval-augmented data curation (find the training docs an
+    eval question would retrieve). The term filter pushes into the
+    explode so only query-term hits survive to the aggregation; idf and
+    the corpus stats are 1-row broadcasts; per-doc scoring is one
+    groupBy. Float note: the final per-doc sum adds ≤3 doubles — the
+    same bounded-reduction tolerance bigram_lm_score has carried green
+    for three rounds."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bm25_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build (posting lists)
+
+_INDEX_MIN_DF = 100
+_INDEX_POSTING_CAP = 10
+
+
+def _index_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    ex = "explode" if dialect == "spark" else "unnest"
+    if dialect == "spark":
+        postings = (
+            f"concat_ws(',', transform(slice(sort_array(collect_set(doc_id)),"
+            f" 1, {_INDEX_POSTING_CAP}), x -> cast(x AS string)))"
+        )
+    else:
+        postings = (
+            f"array_to_string(list_slice(list_sort(list(DISTINCT doc_id)),"
+            f" 1, {_INDEX_POSTING_CAP}), ',')"
+        )
+    return f"""
+WITH hits AS (
+    SELECT DISTINCT {ex}({w}) AS term, doc_id FROM documents
+)
+SELECT term,
+       cast(count(*) AS bigint) AS df,
+       {postings} AS posting_head
+FROM hits
+GROUP BY term
+HAVING count(*) >= {_INDEX_MIN_DF}
+"""
+
+
+@register("inverted_index_build", oracle=_index_sql("duckdb"))
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → document frequency + the head
+    of the sorted posting list (capped, rendered as CSV so the value
+    hash is engine-stable — raw array columns stringify differently
+    across engines). This is the build side of every retrieval/
+    decontamination system; the posting list is exactly a groupBy on
+    the term with map-side partial sets, and the df floor prunes the
+    hapax tail that dominates vocabulary size. At 100 TB the cap
+    becomes per-shard posting files; the shuffle shape is identical."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_index_sql("spark"))

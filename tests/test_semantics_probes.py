@@ -234,3 +234,41 @@ def test_hll_estimate_within_sketch_error(con):
     assert (d.n_present <= 256).all()
     assert (d.hll_estimate > 0).all()
     assert (d.rel_error < 0.20).all()
+
+
+def test_bm25_ranks_term_rich_docs(con):
+    """BM25 must be positive for matching docs, increase with term hits,
+    and not match the whole corpus (query-term filter does real work)."""
+    d = con.execute(_oracle("bm25_score")).fetchdf()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(d) <= n_docs
+    assert (d.bm25 > 0).all()
+    assert d.n_match_terms.between(1, 3).all()
+    # docs matching all 3 query terms outscore single-term docs on average
+    assert (
+        d[d.n_match_terms == 3].bm25.mean() > d[d.n_match_terms == 1].bm25.mean()
+    )
+
+
+def test_inverted_index_postings_sorted_and_capped(con):
+    d = con.execute(_oracle("inverted_index_build")).fetchdf()
+    assert (d.df >= 100).all()
+    for row in d.itertuples():
+        ids = [int(x) for x in row.posting_head.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) <= 10
+
+
+def test_mom_growth_derivative_reconciles(con):
+    d = con.execute(_oracle("orders_mom_growth")).fetchdf().sort_values("month")
+    assert d.mom_growth.iloc[0] != d.mom_growth.iloc[0]  # first row NULL/NaN
+    got = d.revenue.iloc[1:].values / d.prev_revenue.iloc[1:].values - 1
+    assert (abs(got - d.mom_growth.iloc[1:].values) < 1e-9).all()
+    assert d.mom_growth.iloc[1:].abs().max() > 0  # revenue actually moves
+
+
+def test_churn_flag_consistent_with_recency(con):
+    d = con.execute(_oracle("customer_churn_flag")).fetchdf()
+    assert (d.churned == (d.days_since_last > 365)).all()
+    assert 0 < d.churned.mean() < 1  # both classes present
+    assert (d.tenure_days >= 0).all()

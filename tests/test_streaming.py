@@ -460,3 +460,33 @@ def test_streaming_quality_gate_routes_and_audits(spark, tmp_path):
     assert totals["event_type_in_domain"] == 2
     assert totals["value_non_negative"] == 2
     assert audit.groupby("_batch_id").n_checked.max().sum() == 40
+
+
+def test_streaming_hll_registers_match_batch(spark, event_drops):
+    """The streamed HLL register table must be bit-identical to the
+    batch computation over the same events, and the derived estimate
+    must land within sketch error of the exact distinct count."""
+    from chilekids_etl_pipeline_spark.streaming.sketches import (
+        hll_estimate,
+        hll_register_updates,
+        start_register_stream,
+    )
+
+    path, ev = event_drops
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    q = start_register_stream(stream, "t_hll_registers")
+    q.awaitTermination(120)
+
+    streamed = spark.table("t_hll_registers").toPandas()
+    batch_events = spark.createDataFrame(ev[["event_type", "user_id"]])
+    batch = hll_register_updates(batch_events).toPandas()
+    key = ["event_type", "bucket"]
+    s = streamed.sort_values(key, ignore_index=True)
+    b = batch.sort_values(key, ignore_index=True)
+    assert s.equals(b), "streamed registers diverge from batch registers"
+
+    est = hll_estimate(spark.table("t_hll_registers")).toPandas()
+    exact = ev.groupby("event_type").user_id.nunique()
+    for r in est.itertuples():
+        rel = abs(r.hll_estimate - exact[r.event_type]) / exact[r.event_type]
+        assert rel < 0.2, (r.event_type, r.hll_estimate, exact[r.event_type])
