@@ -1,16 +1,57 @@
 from .registry import QUERIES, register, queries, oracle_sql  # noqa: F401
 
 
-def load_all() -> None:
-    """Import every plan module so registration side effects run.
+def _externally_verified() -> set[str]:
+    """Union of fully-green rows across the committed CORRECTNESS_r*.json
+    artifacts (the external gate's own records). Green = no error and
+    every *_match flag recorded is True, requiring at least rows+schema.
+    Missing artifacts → empty set (fresh checkout: keep import order)."""
+    import json
+    from pathlib import Path
 
-    Import order IS registry insertion order, and external correctness
-    tooling samples the first entries in insertion order — so modules whose
-    queries have not yet been externally verified are imported first
-    (llmdata3 and elt, whose raw_quarantine/scd2_history registered after
-    the round-3 window), with modules fully verified in earlier rounds
-    registering last. New round-N modules register LAST and rotate to the
-    front in round N+1 (tests/test_registry_order.py enforces this from
-    the union of green CORRECTNESS_r*.json rows).
-    """
+    green: set[str] = set()
+    repo_root = Path(__file__).resolve().parent.parent.parent
+    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            flags = {k: v for k, v in row.items() if k.endswith("_match")}
+            if (
+                flags.get("rows_match") is True
+                and flags.get("schema_match") is True
+                and all(v is True for v in flags.values())
+            ):
+                green.add(key)
+    return green
+
+
+def load_all() -> None:
+    """Import every plan module, then rotate the registry so externally-
+    unverified entries come FIRST.
+
+    External correctness tooling samples the first ~50 registry entries
+    in insertion order, so the ordering decides which queries get an
+    external verdict each round. Rather than hand-ordering module
+    imports (module granularity let already-verified keys squat in the
+    window), the rotation is derived from the committed
+    CORRECTNESS_r*.json artifacts: keys without a green row sort first
+    (stable in registration order, oldest first), verified keys last.
+    tests/test_registry_order.py pins the resulting saturation
+    invariant."""
     from . import llmdata3, elt, llmdata4, analytics4, llmdata5, analytics5, marts, analytics, analytics2, analytics3, staging, scale, tpch, llmdata, llmdata2  # noqa: F401
+
+    # Round-4 batch 3 — newest entries register last so that when the
+    # unverified set outgrows the window, the overflow is the newest work.
+    from . import llmdata6, analytics6  # noqa: F401
+
+    verified = _externally_verified()
+    ordered = {
+        k: QUERIES[k] for k in QUERIES if k not in verified
+    }
+    ordered.update({k: QUERIES[k] for k in QUERIES if k in verified})
+    QUERIES.clear()
+    QUERIES.update(ordered)

@@ -319,6 +319,10 @@ BNLJ_ALLOWED = {
     "dq_expectations",
     "market_basket_pairs",
     "rfm_segmentation",
+    # round-4 batch 3: 1-row scalar broadcasts — BM25's corpus (N, avgdl)
+    # row and churn's max-orderdate reference row
+    "bm25_score",
+    "customer_churn_flag",
 }
 
 
