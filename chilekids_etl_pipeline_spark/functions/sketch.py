@@ -16,6 +16,21 @@ HLL_WBITS = 56       # remaining digest bits fed to the rank
 HLL_POW = 1 << 53    # fixed-point unit for the harmonic sum
 
 
+CMS_D = 4    # Count-Min hash rows
+CMS_W = 512  # buckets per row (3 hex nibbles = 12 bits, mod w)
+
+
+def cms_bucket_sql(dialect: str, i: str, term: str) -> str:
+    """Count-Min row-``i`` bucket of ``term``: md5 of the salted term,
+    first 3 hex nibbles → 0..4095, mod w. Integer-exact and identical
+    across engines (same construction as the HLL register index)."""
+    s = "string" if dialect == "spark" else "varchar"
+    h = f"md5(concat(cast({i} AS {s}), ':', {term}))"
+    if dialect == "spark":
+        return f"(cast(conv(substr({h}, 1, 3), 16, 10) AS int) % {CMS_W})"
+    return f"(cast(('0x' || substr({h}, 1, 3)) AS bigint) % {CMS_W})"
+
+
 def hll_hash_sql(dialect: str, key: str) -> str:
     s = "string" if dialect == "spark" else "varchar"
     return f"md5(cast({key} AS {s}))"

@@ -19,27 +19,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.sketch import CMS_D as _CMS_D
+from ..functions.sketch import cms_bucket_sql as _cms_bucket_sql
 from ..functions.text import words_sql
 from ..sources.tables import load_table
 from .registry import register
 
 # ---------------------------------------------------------------------------
-# Count-Min heavy hitters (portable, integer-exact)
+# Count-Min heavy hitters (portable, integer-exact; bucket expression
+# shared with the streaming twin via functions/sketch.py)
 
-_CMS_D = 4     # hash rows
-_CMS_W = 512   # buckets per row (3 hex nibbles = 12 bits, mod 512)
 _CMS_TOP = 20  # report the true top-N terms
-
-
-def _cms_bucket_sql(dialect: str, i: str, term: str) -> str:
-    """Row-``i`` bucket of ``term``: md5 of the salted term, first 3 hex
-    nibbles → 0..4095, mod w. Integer-exact and identical across engines
-    (the same construction functions/sketch.py uses for HLL registers)."""
-    s = "string" if dialect == "spark" else "varchar"
-    h = f"md5(concat(cast({i} AS {s}), ':', {term}))"
-    if dialect == "spark":
-        return f"(cast(conv(substr({h}, 1, 3), 16, 10) AS int) % {_CMS_W})"
-    return f"(cast(('0x' || substr({h}, 1, 3)) AS bigint) % {_CMS_W})"
 
 
 def _cms_sql(dialect: str) -> str:

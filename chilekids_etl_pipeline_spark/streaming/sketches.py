@@ -1,5 +1,5 @@
-"""Streaming distinct-count sketch: HyperLogLog registers as a
-continuously-maintained streaming aggregate.
+"""Streaming sketches: HyperLogLog registers and Count-Min cells as
+continuously-maintained streaming aggregates.
 
 The batch entry (plans/analytics5.py hll_distinct_portable) computes
 the registers in one pass; this module maintains the SAME registers
@@ -12,10 +12,16 @@ table per trigger (a second aggregation — kept outside the streaming
 query because Structured Streaming allows one aggregation per query;
 the register table is tiny, m rows per group).
 
+The Count-Min twin (cms_cell_updates) streams for the dual reason: its
+cell is a SUM — associative and commutative — so per-micro-batch
+partial counts merge into d×w bounded state where an exact streaming
+term-frequency table would grow with the vocabulary.
+
 All expressions come from functions/sketch.py, so the streaming
-registers are bit-identical to the batch entry's (pinned by
+registers/cells are bit-identical to the batch entries'
+(hll_distinct_portable, heavy_hitters_cms), pinned by
 tests/test_streaming.py against the batch computation on the same
-events).
+inputs.
 """
 
 from __future__ import annotations
@@ -24,8 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.sketch import (
+    CMS_D,
     HLL_M,
     HLL_POW,
+    cms_bucket_sql,
     hll_bucket_sql,
     hll_estimate_from_fp_sql,
     hll_hash_sql,
@@ -33,6 +41,7 @@ from ..functions.sketch import (
     hll_shifted_sql,
     hll_w_sql,
 )
+from ..functions.text import words_sql
 
 
 def hll_register_updates(events: DataFrame, key: str = "user_id") -> DataFrame:
@@ -74,6 +83,52 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         "event_type",
         "n_present",
         f"{hll_estimate_from_fp_sql('harmonic_fp', 'zeros')} AS hll_estimate",
+    )
+
+
+def cms_cell_updates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming (or batch) documents → Count-Min sketch cells.
+
+    The CMS cell is a SUM — associative and commutative — so per-micro-
+    batch partial counts merge into running state without revisiting
+    history, exactly the way the HLL register's MAX does; state is
+    bounded at d×w cells regardless of stream length, where an exact
+    streaming term-frequency table would grow with the vocabulary. The
+    bucket expression is shared with the batch heavy_hitters_cms entry
+    (functions/sketch.py), so a cell probed from the streamed sketch
+    equals the batch sketch's cell on the same corpus."""
+    tokens = docs.selectExpr(
+        f"explode({words_sql('spark', text_col)}) AS term"
+    )
+    salted = tokens.selectExpr("term", f"explode(sequence(0, {CMS_D - 1})) AS i")
+    cells = salted.selectExpr("i", f"{cms_bucket_sql('spark', 'i', 'term')} AS b")
+    return cells.groupBy("i", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell")
+    )
+
+
+def cms_probe(sketch: DataFrame, terms: DataFrame) -> DataFrame:
+    """Point-frequency estimates for a term table against the d×w
+    sketch: min over the d row cells each term hashes to (batch-side;
+    the sketch is tiny). Missing cells count as 0."""
+    probes = terms.selectExpr(
+        "term", f"explode(sequence(0, {CMS_D - 1})) AS i"
+    ).selectExpr("term", "i", f"{cms_bucket_sql('spark', 'i', 'term')} AS b")
+    hit = probes.join(sketch, ["i", "b"], "left").na.fill({"cell": 0})
+    return hit.groupBy("term").agg(F.min("cell").alias("cms_estimate"))
+
+
+def start_cms_stream(docs: DataFrame, table_name: str = "cms_cells"):
+    """Maintain the sketch continuously into a memory sink (complete
+    mode: d×w rows, idempotent to re-emit). Returns the StreamingQuery;
+    probe with cms_probe(spark.table(table_name), terms)."""
+    cells = cms_cell_updates(docs)
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

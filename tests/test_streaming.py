@@ -490,3 +490,63 @@ def test_streaming_hll_registers_match_batch(spark, event_drops):
     for r in est.itertuples():
         rel = abs(r.hll_estimate - exact[r.event_type]) / exact[r.event_type]
         assert rel < 0.2, (r.event_type, r.hll_estimate, exact[r.event_type])
+
+
+def test_streaming_cms_cells_match_batch(spark, tmp_path):
+    """The streamed Count-Min sketch must be cell-identical to the batch
+    computation over the same documents (the cell is a SUM — per-batch
+    partials merge losslessly), and probing it for the true top terms
+    must never underestimate (the CMS one-sided error guarantee)."""
+    from chilekids_etl_pipeline_spark.streaming.sketches import (
+        cms_cell_updates,
+        cms_probe,
+        start_cms_stream,
+    )
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .limit(300)
+        .toPandas()
+    )
+    for i in range(3):
+        chunk = docs.iloc[i * 100 : (i + 1) * 100]
+        with open(tmp_path / f"docs_{i}.json", "w") as f:
+            for _, r in chunk.iterrows():
+                f.write(
+                    json.dumps({"doc_id": int(r.doc_id), "text": r.text})
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    q = start_cms_stream(stream, "t_cms_cells")
+    q.awaitTermination(120)
+
+    streamed = spark.table("t_cms_cells").toPandas()
+    batch_docs = spark.createDataFrame(docs[["doc_id", "text"]])
+    batch = cms_cell_updates(batch_docs).toPandas()
+    key = ["i", "b"]
+    s = streamed.sort_values(key, ignore_index=True)
+    b = batch.sort_values(key, ignore_index=True)
+    assert s.equals(b), "streamed CMS cells diverge from batch cells"
+
+    counts = (
+        batch_docs.selectExpr("explode(split(text, ' ')) AS term")
+        .where("term <> ''")
+        .groupBy("term")
+        .count()
+        .orderBy(F.desc("count"), "term")
+        .limit(10)
+        .toPandas()
+    )
+    est = cms_probe(
+        spark.table("t_cms_cells"),
+        spark.createDataFrame(counts[["term"]]),
+    ).toPandas()
+    merged = counts.merge(est, on="term")
+    assert len(merged) == 10
+    assert (merged.cms_estimate >= merged["count"]).all(), merged
