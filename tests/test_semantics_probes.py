@@ -272,3 +272,68 @@ def test_churn_flag_consistent_with_recency(con):
     assert (d.churned == (d.days_since_last > 365)).all()
     assert 0 < d.churned.mean() < 1  # both classes present
     assert (d.tenure_days >= 0).all()
+
+
+def test_cms_one_sided_and_tight_on_heads(con):
+    d = con.execute(_oracle("heavy_hitters_cms")).fetchdf()
+    assert len(d) == 20
+    assert (d.overcount >= 0).all()  # CMS never underestimates
+    assert (d.cms_estimate == d.true_count + d.overcount).all()
+    # the heaviest terms should not be swamped by collision noise
+    head = d.sort_values("true_count", ascending=False).head(5)
+    assert (head.overcount < head.true_count).all(), head
+
+
+def test_dup_matrix_has_planted_cross_and_self_pairs(con):
+    d = con.execute(_oracle("cross_source_dup_matrix")).fetchdf()
+    cross = d[d.source_a != d.source_b]
+    diag = d[d.source_a == d.source_b]
+    assert len(cross) > 0 and cross.n_dup_groups.sum() > 0
+    assert len(diag) > 0 and diag.n_dup_groups.sum() > 0
+
+
+def test_kmeans_partitions_all_vectors(con):
+    d = con.execute(_oracle("kmeans_lloyd")).fetchdf()
+    n_vecs = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert len(d) == 8
+    assert (d.n_vecs > 0).all(), "empty cluster from deterministic seed"
+    assert d.n_vecs.sum() == n_vecs
+    assert (d.inertia > 0).all()
+
+
+def test_ocr_score_varies_and_clean_corpus_not_flagged(con):
+    d = con.execute(_oracle("ocr_artifact_score")).fetchdf()
+    assert d.suspect.mean() < 0.5, "clean synthetic corpus mostly flagged"
+    assert d.ocr_score.max() > d.ocr_score.min()
+
+
+def test_twap_weighting_actually_bites(con):
+    d = con.execute(_oracle("time_weighted_avg")).fetchdf()
+    assert (d.span_us > 0).all()
+    assert (d.twap - d.plain_avg).abs().max() > 1e-9, (
+        "time weighting indistinguishable from plain average"
+    )
+
+
+def test_gap_fill_fills_every_gap(con):
+    d = con.execute(_oracle("gap_fill_forward")).fetchdf()
+    assert d.is_gap.any(), "no gaps generated — grid degenerate"
+    assert (~d.is_gap).any()
+    # first grid hour per user is an observed hour, so carry-forward
+    # leaves no unfilled row
+    assert d.v_filled.notna().all()
+
+
+def test_pit_join_assigns_exactly_one_version(con):
+    d = con.execute(_oracle("scd2_point_in_time")).fetchdf()
+    assert d.event_id.is_unique, "validity intervals overlap"
+    assert (d.ts >= d.valid_from).all()
+
+
+def test_skew_profile_orderings(con):
+    d = con.execute(_oracle("join_skew_profile")).fetchdf()
+    assert len(d) == 1
+    r = d.iloc[0]
+    assert r.max_per_key >= r.p99 >= r.p90 >= r.p50 > 0
+    assert 0 < r.top1_share <= 1
+    assert r.skew_factor >= 1
