@@ -1,0 +1,168 @@
+"""Extended analytics, batch 7: a mergeable integer-binned histogram
+quantile sketch (the shuffle-tiny alternative to exact percentiles at
+100 TB, with its error measured against the exact answer in the same
+output), and top-k session paths (the navigation-pattern rollup).
+
+Dual-dialect SQL templates; all binning is integer bit arithmetic so
+the histogram is bit-identical across engines. Registered after the
+external gate window; rotates in next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch (integer log-bins, exact-vs-estimate)
+
+def _hist_sql(dialect: str) -> str:
+    shr = (
+        "shiftright(cents, msb - 3)"
+        if dialect == "spark"
+        else "(cents >> (msb - 3))"
+    )
+    pct = "percentile" if dialect == "spark" else "quantile_cont"
+    # bare decimal literals parse as DECIMAL in Spark (q would hash as
+    # "0.50" against DuckDB's double "0.5") — force double elements
+    qrows = (
+        "SELECT explode(array(cast(0.5 AS double), cast(0.9 AS double), "
+        "cast(0.99 AS double))) AS q"
+        if dialect == "spark"
+        else "SELECT unnest([cast(0.5 AS double), cast(0.9 AS double), "
+        "cast(0.99 AS double)]) AS q"
+    )
+    return f"""
+WITH vals AS (
+    SELECT cast(round(o_totalprice * 100, 0) AS bigint) AS cents
+    FROM orders
+),
+binned AS (
+    SELECT cents, msb,
+           CASE WHEN msb >= 3 THEN msb * 4 + ({shr} % 4)
+                ELSE msb * 4 END AS bin_id
+    FROM (SELECT cents, length(bin(cents)) AS msb FROM vals) m
+),
+hist AS (
+    SELECT bin_id,
+           cast(count(*) AS bigint) AS n,
+           cast(min(cents) AS bigint) AS lo,
+           cast(max(cents) AS bigint) AS hi
+    FROM binned GROUP BY bin_id
+),
+cum AS (
+    SELECT bin_id, n, lo, hi,
+           sum(n) OVER (ORDER BY bin_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n,
+           sum(n) OVER () AS total_n
+    FROM hist
+),
+targets AS ({qrows}),
+crossing AS (
+    SELECT t.q, c.lo, c.hi, c.n, c.cum_n, c.total_n,
+           row_number() OVER (PARTITION BY t.q ORDER BY c.bin_id) AS rn
+    FROM targets t JOIN cum c
+      ON c.cum_n >= cast(ceil(t.q * c.total_n) AS bigint)
+),
+est AS (
+    SELECT q,
+           lo + (hi - lo)
+              * (cast(ceil(q * total_n) AS bigint) - (cum_n - n))
+              / cast(n AS double) AS est_cents
+    FROM crossing WHERE rn = 1
+),
+exact AS (
+    SELECT {pct}(cents, 0.5) AS e50,
+           {pct}(cents, 0.9) AS e90,
+           {pct}(cents, 0.99) AS e99
+    FROM vals
+)
+SELECT q,
+       round(est_cents / 100, 4) AS est_value,
+       round(CASE WHEN q = cast(0.5 AS double) THEN e50
+                  WHEN q = cast(0.9 AS double) THEN e90
+                  ELSE e99 END / 100, 4) AS exact_value,
+       round(abs(est_cents - CASE WHEN q = cast(0.5 AS double) THEN e50
+                                  WHEN q = cast(0.9 AS double) THEN e90
+                                  ELSE e99 END)
+             / (CASE WHEN q = cast(0.5 AS double) THEN e50
+                     WHEN q = cast(0.9 AS double) THEN e90
+                     ELSE e99 END), 6) AS rel_err
+FROM est CROSS JOIN exact
+"""
+
+
+@register("histogram_quantile", oracle=_hist_sql("duckdb"))
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable integer-binned histogram, with the
+    error against the exact percentile measured in the same output.
+    The bin id is pure bit arithmetic on integer cents — msb position
+    (length(bin(x)) in both engines) × 4 sub-bins from the two bits
+    below the leading bit — giving ≤ 4 bins per octave (≈19% max
+    relative bin width) with NO floating-point log at the boundary, so
+    the histogram is bit-identical across engines and across partition
+    orders. At 100 TB this histogram IS the aggregation state: a few
+    hundred rows, mergeable by addition across executors/days, where
+    exact percentiles need a full sort or t-digest. The exact
+    percentile here is the verification side, not the scale path.
+    Estimates interpolate linearly inside the crossing bin using the
+    bin's observed [lo, hi] (tighter than nominal bin edges)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_hist_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# top-k session paths
+
+_PATH_TOP = 20
+
+
+def _paths_sql(dialect: str) -> str:
+    day = (
+        "date_trunc('day', ts)" if dialect == "spark"
+        else "date_trunc('day', ts)"
+    )
+    return f"""
+WITH steps AS (
+    SELECT user_id, {day} AS d, event_type,
+           row_number() OVER (PARTITION BY user_id, {day}
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+sessions AS (
+    SELECT user_id, d,
+           max(CASE WHEN rn = 1 THEN event_type END) AS s1,
+           max(CASE WHEN rn = 2 THEN event_type END) AS s2,
+           max(CASE WHEN rn = 3 THEN event_type END) AS s3
+    FROM steps WHERE rn <= 3 GROUP BY user_id, d
+),
+paths AS (
+    SELECT concat(coalesce(s1, '-'), '>', coalesce(s2, '-'), '>',
+                  coalesce(s3, '-')) AS path,
+           cast(count(*) AS bigint) AS n_sessions
+    FROM sessions GROUP BY 1
+)
+SELECT path, n_sessions FROM (
+    SELECT path, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+    FROM paths
+) ranked WHERE rk <= {_PATH_TOP}
+"""
+
+
+@register("session_path_topk", oracle=_paths_sql("duckdb"))
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k opening paths (first three event types) per user-day
+    session — the navigation-pattern rollup product analytics runs on
+    every clickstream. The path is assembled with conditional MAX over
+    a rank-limited window instead of an ordered string-aggregate, so
+    the same template runs on both engines (no listagg/string_agg
+    dialect fork) and the per-session state is three fixed slots, not
+    an unbounded list. Shuffles: one window on (user, day) — the same
+    partitioning the sessionizer uses — one path count, and a top-k
+    over the tiny distinct-path table."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_paths_sql("spark"))

@@ -1,0 +1,254 @@
+"""Training-data pipeline operators, batch 7: corpus-internal exact
+substring dedup (verbatim shared spans between document PAIRS — the
+doc-vs-doc twin of contamination_span), embedding-column QC (norm
+profile / zero-vector detection), and per-source dataset-card stats
+(the one-scan profile a mixture decision reads).
+
+Same discipline as plans/llmdata.py..llmdata6.py: dual-dialect SQL
+templates, zero Python UDFs, and pairwise work bounded by a
+document-frequency cap on the join key. Registered after the external
+gate window (imported last in plans.load_all()); rotates in next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import words_sql
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (pairwise verbatim spans)
+
+_SUB_N = 8         # gram width
+_SUB_DF_CAP = 8    # keep grams appearing in <= this many docs
+_SUB_MIN_RUN = 10  # report pairs sharing a run of >= this many grams
+
+
+def _sub_docs_cte(dialect: str) -> str:
+    """Corpus + planted partial copies: every 25th doc contributes a new
+    doc (+500000) whose text is a 30-word slice starting at word 11 —
+    a verbatim span embedded in an otherwise-unrelated id."""
+    w = words_sql(dialect)
+    if dialect == "spark":
+        sl = f"concat_ws(' ', slice({w}, 11, 30))"
+    else:
+        sl = f"array_to_string(list_slice({w}, 11, 40), ' ')"
+    return f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 500000 AS doc_id, {sl} AS text
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _sub_pos_grams(dialect: str) -> str:
+    """Positional {n}-grams over the planted corpus: (doc_id, pos, gh)
+    with the gram md5-hashed so the join key is fixed-width."""
+    w = words_sql(dialect)
+    if dialect == "spark":
+        return f"""
+    SELECT doc_id, g.pos AS pos, md5(g.gram) AS gh FROM (
+        SELECT doc_id,
+               explode(transform(sequence(0, size(w) - {_SUB_N}),
+                   i -> named_struct('pos', i, 'gram',
+                        concat_ws(' ', slice(w, i + 1, {_SUB_N}))))) AS g
+        FROM (SELECT doc_id, {w} AS w FROM docs)
+        WHERE size(w) >= {_SUB_N}
+    )"""
+    return f"""
+    SELECT doc_id, (u).pos AS pos, md5((u).gram) AS gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(w) - {_SUB_N} + 1),
+                   i -> {{'pos': i, 'gram':
+                        array_to_string(w[i + 1 : i + {_SUB_N}], ' ')}})) AS u
+        FROM (SELECT doc_id, {w} AS w FROM docs)
+        WHERE len(w) >= {_SUB_N}
+    )"""
+
+
+def _substring_sql(dialect: str, grams_src: str | None = None) -> str:
+    grams_body = (
+        f"SELECT doc_id, pos, gh FROM {grams_src}"
+        if grams_src
+        else _sub_pos_grams(dialect)
+    )
+    return f"""
+WITH docs AS ({_sub_docs_cte(dialect)}),
+grams AS ({grams_body}),
+df AS (
+    SELECT gh FROM (
+        SELECT gh, count(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY gh
+    ) d WHERE n_docs BETWEEN 2 AND {_SUB_DF_CAP}
+),
+keep AS (
+    SELECT g.doc_id, g.pos, g.gh FROM grams g JOIN df ON g.gh = df.gh
+),
+pair_hits AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, a.pos - b.pos AS diag
+    FROM keep a JOIN keep b
+      ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, diag, pos_a,
+           pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                      ORDER BY pos_a) AS grp
+    FROM pair_hits
+),
+per_run AS (
+    SELECT doc_a, doc_b, count(*) AS run_len
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b,
+       cast(max(run_len) AS bigint) AS max_run,
+       cast(max(run_len) + {_SUB_N - 1} AS bigint) AS span_words,
+       cast(sum(run_len) AS bigint) AS n_shared_grams
+FROM per_run
+GROUP BY doc_a, doc_b
+HAVING max(run_len) >= {_SUB_MIN_RUN}
+"""
+
+
+@register("exact_substring_dedup", oracle=_substring_sql("duckdb"))
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim shared SPANS between document pairs — the
+    exact-substring dedup of Lee et al.'s "Deduplicating Training Data"
+    recast as a join: positional 8-grams meet on their md5 inside a
+    df-capped inverted index (grams in >8 docs are boilerplate and
+    dropped — the same stop-gram bound minhash_containment uses), and
+    contiguous matches group per (pair, diagonal) with the
+    pos − row_number() gaps-and-islands trick contamination_span uses
+    per document. A pair is reported when a shared run reaches 10 grams
+    (≥ 17 verbatim words) — quote-length spans, not full-doc near-dups,
+    which is what MinHash misses. Planted 30-word slices (+500000 ids)
+    guarantee true positives. Pairwise work is bounded by the df cap,
+    never O(corpus²); the run grouping shuffles once on (pair, diag).
+
+    Perf: the grams CTE is referenced three times (df, both join
+    sides) — materialized once on the Spark side so SQL inlining does
+    not re-explode the corpus (the CTE-inlining lesson from
+    minhash_containment, 9.8→2 s)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("documents")
+    grams = spark.sql(
+        f"WITH docs AS ({_sub_docs_cte('spark')}) {_sub_pos_grams('spark')}"
+    )
+    grams.persist().createOrReplaceTempView("sub_grams_mat")
+    return spark.sql(_substring_sql("spark", grams_src="sub_grams_mat"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-column QC
+
+def _norm_qc_sql(dialect: str) -> str:
+    if dialect == "spark":
+        dims = ("SELECT vec_id, label, pos, v FROM vecs "
+                "LATERAL VIEW posexplode(embedding) t AS pos, v")
+    else:
+        dims = ("SELECT vec_id, label, "
+                "unnest(range(0, len(embedding))) AS pos, "
+                "unnest(embedding) AS v FROM vecs")
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, label,
+           CASE WHEN vec_id % 97 = 0
+                THEN transform_zero(embedding)
+                ELSE embedding END AS embedding
+    FROM embeddings
+),
+dims AS ({dims}),
+norms AS (
+    SELECT vec_id, label,
+           sqrt(sum(v * v)) AS l2,
+           cast(count(*) AS bigint) AS n_dims
+    FROM dims GROUP BY vec_id, label
+)
+SELECT label,
+       cast(count(*) AS bigint) AS n_vecs,
+       cast(min(n_dims) AS bigint) AS min_dims,
+       cast(max(n_dims) AS bigint) AS max_dims,
+       cast(sum(CASE WHEN l2 < cast(0.000001 AS double) THEN 1 ELSE 0 END)
+            AS bigint) AS n_zero_vecs,
+       round(min(l2), 6) AS min_norm,
+       round(max(l2), 6) AS max_norm,
+       round(avg(l2), 6) AS mean_norm
+FROM norms GROUP BY label
+"""
+
+
+def _norm_qc_dialect(dialect: str) -> str:
+    """Inject the zero-out transform (planted bad vectors) per dialect."""
+    zero = (
+        "transform(embedding, x -> cast(0 AS double))"
+        if dialect == "spark"
+        else "list_transform(embedding, x -> cast(0 AS double))"
+    )
+    return _norm_qc_sql(dialect).replace("transform_zero(embedding)", zero)
+
+
+@register("embedding_norm_qc", oracle=_norm_qc_dialect("duckdb"))
+def embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QC: per-label vector counts, dimensionality
+    bounds (a ragged dim is a pipeline bug), L2-norm profile, and
+    zero-vector detection — the checks that gate an embedding table
+    before ANN indexing or semantic dedup trusts it (a zeroed vector
+    silently matches everything at cosine 0/0). Every 97th vector is
+    planted as all-zero so the detector provably fires. posexplode →
+    one (vec, label) aggregation → one label rollup; linear in
+    vectors × dims, no pairwise anything. The 64-term double sum under
+    sqrt is order-dependent only below the 6-dp rounding."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_norm_qc_dialect("spark"))
+
+
+# ---------------------------------------------------------------------------
+# per-source dataset-card stats
+
+def _card_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    nw = f"size({w})" if dialect == "spark" else f"len({w})"
+    return f"""
+WITH per_doc AS (
+    SELECT source, lang, doc_id,
+           md5(text) AS h,
+           cast({nw} AS bigint) AS n_tokens,
+           cast(length(text) AS bigint) AS n_chars
+    FROM documents
+)
+SELECT source,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(count(DISTINCT h) AS bigint) AS n_unique_texts,
+       cast(count(*) - count(DISTINCT h) AS bigint) AS n_exact_dups,
+       cast(count(DISTINCT lang) AS bigint) AS n_langs,
+       cast(sum(n_tokens) AS bigint) AS total_tokens,
+       round(avg(cast(n_tokens AS double)), 4) AS mean_tokens,
+       cast(min(n_tokens) AS bigint) AS min_tokens,
+       cast(max(n_tokens) AS bigint) AS max_tokens,
+       cast(sum(CASE WHEN n_tokens < 25 THEN 1 ELSE 0 END) AS bigint)
+           AS n_short_docs,
+       round(sum(n_chars) / cast(sum(n_tokens) AS double), 4)
+           AS chars_per_token
+FROM per_doc GROUP BY source
+"""
+
+
+@register("dataset_card_stats", oracle=_card_sql("duckdb"))
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: doc/token totals, exact-dup counts,
+    language spread, length profile, chars-per-token — the one-scan
+    summary a mixture decision (token_budget_allocator,
+    dataset_mixture_sample) reads before weighting a source, and the
+    table a data release publishes as its datasheet. One
+    map-side-combined groupBy on source; the distinct-hash and
+    distinct-lang aggregates use Spark's built-in distinct-aggregate
+    expansion (per-group, not global). Output is one row per source at
+    any corpus scale."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_card_sql("spark"))

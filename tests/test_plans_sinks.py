@@ -323,6 +323,10 @@ BNLJ_ALLOWED = {
     # row and churn's max-orderdate reference row
     "bm25_score",
     "customer_churn_flag",
+    # round-4 batch 4: histogram_quantile's quantile targets (3 rows)
+    # range-join the ~40-row cumulative histogram, plus a 1-row exact
+    # CROSS JOIN — both sides bounded by bin count, never data size
+    "histogram_quantile",
 }
 
 

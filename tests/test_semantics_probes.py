@@ -337,3 +337,46 @@ def test_skew_profile_orderings(con):
     assert r.max_per_key >= r.p99 >= r.p90 >= r.p50 > 0
     assert 0 < r.top1_share <= 1
     assert r.skew_factor >= 1
+
+
+def test_substring_dedup_finds_planted_slices(con):
+    d = con.execute(_oracle("exact_substring_dedup")).fetchdf()
+    planted = d[d.doc_b == d.doc_a + 500000]
+    assert len(planted) > 0, "no planted 30-word slice detected"
+    assert (d.span_words >= 17).all()
+    assert (d.n_shared_grams >= d.max_run).all()
+
+
+def test_norm_qc_catches_planted_zero_vectors(con):
+    d = con.execute(_oracle("embedding_norm_qc")).fetchdf()
+    n_planted = con.execute(
+        "SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0"
+    ).fetchone()[0]
+    assert d.n_zero_vecs.sum() == n_planted
+    assert (d.min_dims == 64).all() and (d.max_dims == 64).all()
+    assert (d[d.n_zero_vecs == 0].min_norm > 0).all()
+
+
+def test_dataset_card_covers_all_sources(con):
+    d = con.execute(_oracle("dataset_card_stats")).fetchdf()
+    n_sources = con.execute(
+        "SELECT count(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    assert len(d) == n_sources
+    assert (d.n_docs > 0).all() and (d.total_tokens > 0).all()
+    assert ((d.mean_tokens >= d.min_tokens)
+            & (d.mean_tokens <= d.max_tokens)).all()
+
+
+def test_histogram_quantile_tight_and_monotone(con):
+    d = con.execute(_oracle("histogram_quantile")).fetchdf().sort_values("q")
+    assert (d.rel_err < 0.05).all(), d  # <=19% bin width -> few-% error
+    assert d.est_value.is_monotonic_increasing
+    assert d.exact_value.is_monotonic_increasing
+
+
+def test_session_paths_ranked_and_wellformed(con):
+    d = con.execute(_oracle("session_path_topk")).fetchdf()
+    assert len(d) == 20
+    assert d.n_sessions.is_monotonic_decreasing
+    assert d.path.str.contains(">").all()
