@@ -97,6 +97,16 @@ EXTRA = [
     "hll_distinct_portable",
     "bm25_score",
     "inverted_index_build",
+    # round-4 batches 3-4 (heaviest members; the rest are sub-100 ms
+    # scalar/profile shapes covered by the correctness gate)
+    "heavy_hitters_cms",
+    "kmeans_lloyd",
+    "exact_substring_dedup",
+    "cross_source_dup_matrix",
+    "gap_fill_forward",
+    "scd2_point_in_time",
+    "histogram_quantile",
+    "session_path_topk",
 ]
 
 

@@ -158,14 +158,21 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8
 
 
-def _kmeans_sql(dialect: str) -> str:
+def _kmeans_dims(dialect: str) -> str:
     if dialect == "spark":
-        dims = ("SELECT vec_id, pos, v FROM embeddings "
+        return ("SELECT vec_id, pos, v FROM embeddings "
                 "LATERAL VIEW posexplode(embedding) t AS pos, v")
-    else:
-        dims = ("SELECT vec_id, "
-                "unnest(range(0, len(embedding))) AS pos, "
-                "unnest(embedding) AS v FROM embeddings")
+    return ("SELECT vec_id, "
+            "unnest(range(0, len(embedding))) AS pos, "
+            "unnest(embedding) AS v FROM embeddings")
+
+
+def _kmeans_sql(dialect: str, dims_src: str | None = None) -> str:
+    dims = (
+        f"SELECT vec_id, pos, v FROM {dims_src}"
+        if dims_src
+        else _kmeans_dims(dialect)
+    )
     return f"""
 WITH dims AS ({dims}),
 seeds AS (
@@ -230,11 +237,22 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; per-iteration cost is linear in vectors × dims × k
     with no pairwise vector join anywhere. More iterations = more of
     the same stages; production k-means on Spark iterates this exact
-    DAG with the centroid table checkpointed per round."""
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
-        "embeddings"
+    DAG with the centroid table checkpointed per round.
+
+    Perf: the dims CTE is referenced by the seed join and BOTH
+    iterations' distance+update stages — SQL inlining would re-explode
+    the vector table four times, so it is materialized once (the same
+    CTE-inlining lesson minhash_containment carries), and repartitioned
+    because the local parquet is a single row group (1 scan task). At
+    real scale file layout provides the splits and the persisted dims
+    table is the per-iteration cache every distributed k-means keeps."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    return spark.sql(_kmeans_sql("spark"))
+    emb.createOrReplaceTempView("embeddings")
+    dims = spark.sql(_kmeans_dims("spark"))
+    dims.persist().createOrReplaceTempView("kmeans_dims_mat")
+    return spark.sql(_kmeans_sql("spark", dims_src="kmeans_dims_mat"))
 
 
 # ---------------------------------------------------------------------------
