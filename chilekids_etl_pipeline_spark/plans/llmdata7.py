@@ -252,3 +252,122 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus scale."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_card_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy record linkage
+
+def _linkage_sql(dialect: str) -> str:
+    s = "string" if dialect == "spark" else "varchar"
+    return f"""
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    UNION ALL
+    SELECT c_custkey + 900000 AS c_custkey,
+           concat('Custoner', substr(c_name, 9)) AS c_name,
+           c_nationkey
+    FROM customer WHERE c_custkey % 40 = 0
+),
+blocked AS (
+    SELECT c_custkey, c_name,
+           concat(cast(c_nationkey AS {s}), ':', right(c_name, 4)) AS blk
+    FROM base
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       cast(levenshtein(a.c_name, b.c_name) AS bigint) AS edit_dist
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@register("record_linkage_blocked", oracle=_linkage_sql("duckdb"))
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage with blocking — the dirty-dimension dedup
+    exact hashing cannot do (typo'd re-entries of the same customer).
+    Candidate pairs form only inside a block (nation + last-4 chars of
+    the name, the stable fields under mid-string typos), then edit
+    distance <= 2 confirms — the classic blocking-then-comparing
+    architecture that keeps pairwise string comparison off the
+    O(n^2) table and bounded by block size. Planted typo twins
+    ('Custoner' re-entries at +900000) guarantee true matches;
+    levenshtein is a built-in on both engines. At 100 TB the block key
+    is the shuffle key and block-size skew is the thing to monitor
+    (join_skew_profile is the diagnostic)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_linkage_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix
+
+def _lang_confusion_sql(dialect: str) -> str:
+    from .llmdata import _langid_sql
+
+    return f"""
+SELECT label_lang, pred_lang,
+       cast(count(*) AS bigint) AS n_docs
+FROM ({_langid_sql(dialect)}) preds
+GROUP BY label_lang, pred_lang
+"""
+
+
+@register("lang_confusion_matrix", oracle=_lang_confusion_sql("duckdb"))
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language ID against the
+    labeled corpus — the eval table that turns lang_id from a black box
+    into a calibrated filter (which pairs confuse, which labels are
+    safe to route on). Wraps the lang_id template as a subquery and
+    adds one (label, pred) aggregation; output is at most |langs|^2
+    rows at any corpus scale. The standard QA artifact for every
+    classifier-based curation stage."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_lang_confusion_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# categorical mutual information
+
+def _mi_sql(dialect: str) -> str:
+    ln = "ln" if dialect == "duckdb" else "ln"
+    return f"""
+WITH joint AS (
+    SELECT lang, source, cast(count(*) AS bigint) AS n_ls
+    FROM documents GROUP BY lang, source
+),
+ml AS (SELECT lang, cast(sum(n_ls) AS bigint) AS n_l FROM joint GROUP BY lang),
+ms AS (SELECT source, cast(sum(n_ls) AS bigint) AS n_s FROM joint GROUP BY source),
+tot AS (SELECT cast(sum(n_ls) AS bigint) AS n FROM joint),
+terms AS (
+    SELECT j.n_ls, ml.n_l, ms.n_s, t.n,
+           (j.n_ls / cast(t.n AS double))
+             * {ln}(cast(j.n_ls AS double) * t.n
+                    / (cast(ml.n_l AS double) * ms.n_s)) AS mi_term,
+           (j.n_ls - cast(ml.n_l AS double) * ms.n_s / t.n)
+             * (j.n_ls - cast(ml.n_l AS double) * ms.n_s / t.n)
+             / (cast(ml.n_l AS double) * ms.n_s / t.n) AS chi2_term
+    FROM joint j
+    JOIN ml ON j.lang = ml.lang
+    JOIN ms ON j.source = ms.source
+    CROSS JOIN tot t
+)
+SELECT cast(count(*) AS bigint) AS n_cells,
+       round(sum(mi_term), 6) AS mi_nats,
+       round(sum(chi2_term), 4) AS chi2
+FROM terms
+"""
+
+
+@register("categorical_mi", oracle=_mi_sql("duckdb"))
+def categorical_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information and chi-square between two categorical
+    columns (lang x source) — the dependence test that answers 'is
+    language balanced across sources or do some sources skew the mix'
+    before a mixture weight treats them as independent axes. The joint
+    table is one map-side-combined aggregate; marginals derive from it
+    (no second corpus scan), and the MI/chi-square reduction runs over
+    at most |langs| x |sources| cells. The only broadcast is the 1-row
+    total."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_mi_sql("spark"))

@@ -327,6 +327,8 @@ BNLJ_ALLOWED = {
     # range-join the ~40-row cumulative histogram, plus a 1-row exact
     # CROSS JOIN — both sides bounded by bin count, never data size
     "histogram_quantile",
+    # categorical_mi's 1-row corpus-total broadcast
+    "categorical_mi",
 }
 
 

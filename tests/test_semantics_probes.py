@@ -380,3 +380,25 @@ def test_session_paths_ranked_and_wellformed(con):
     assert len(d) == 20
     assert d.n_sessions.is_monotonic_decreasing
     assert d.path.str.contains(">").all()
+
+
+def test_linkage_finds_planted_typo_twins(con):
+    d = con.execute(_oracle("record_linkage_blocked")).fetchdf()
+    planted = d[d.id_b == d.id_a + 900000]
+    assert len(planted) > 0, "no planted typo twin matched"
+    assert (planted.edit_dist == 1).all()
+    assert (d.edit_dist <= 2).all()
+
+
+def test_lang_confusion_diagonal_dominates(con):
+    d = con.execute(_oracle("lang_confusion_matrix")).fetchdf()
+    diag = d[d.label_lang == d.pred_lang].n_docs.sum()
+    assert diag / d.n_docs.sum() > 0.25  # beats 5-way chance
+
+
+def test_categorical_mi_nonnegative_and_bounded(con):
+    d = con.execute(_oracle("categorical_mi")).fetchdf()
+    r = d.iloc[0]
+    assert r.mi_nats >= -1e-9
+    assert r.chi2 >= 0
+    assert r.n_cells > 0

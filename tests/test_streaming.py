@@ -550,3 +550,56 @@ def test_streaming_cms_cells_match_batch(spark, tmp_path):
     merged = counts.merge(est, on="term")
     assert len(merged) == 10
     assert (merged.cms_estimate >= merged["count"]).all(), merged
+
+
+def test_streaming_corpus_dedup_matches_batch_anti_join(spark, tmp_path):
+    """The stream-static corpus gate must keep exactly the documents the
+    batch anti join keeps: drops containing corpus copies lose them,
+    novel documents pass."""
+    from chilekids_etl_pipeline_spark.streaming.dedup import (
+        corpus_signatures,
+        dedup_stream_against_corpus,
+        start_corpus_dedup_stream,
+    )
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .limit(200)
+        .toPandas()
+    )
+    corpus = docs.iloc[:100]          # existing corpus
+    novel = docs.iloc[100:].copy()    # genuinely new docs
+    novel["doc_id"] += 1000000
+    copies = corpus.iloc[::5].copy()  # re-ingested corpus docs
+    copies["doc_id"] += 2000000
+    import pandas as pd
+
+    incoming = pd.concat(
+        [novel.iloc[:50], copies, novel.iloc[50:]], ignore_index=True
+    )
+    for i in range(3):
+        chunk = incoming.iloc[i * 40 : (i + 1) * 40 + (len(incoming) - 120 if i == 2 else 0)]
+        with open(tmp_path / f"in_{i}.json", "w") as f:
+            for _, r in chunk.iterrows():
+                f.write(
+                    json.dumps({"doc_id": int(r.doc_id), "text": r.text})
+                    + "\n"
+                )
+
+    sigs = corpus_signatures(spark.createDataFrame(corpus))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    q = start_corpus_dedup_stream(stream, sigs, "t_novel_docs")
+    q.awaitTermination(120)
+
+    streamed = spark.table("t_novel_docs").toPandas()
+    batch = dedup_stream_against_corpus(
+        spark.createDataFrame(incoming), sigs
+    ).toPandas()
+    assert sorted(streamed.doc_id) == sorted(batch.doc_id)
+    assert set(copies.doc_id).isdisjoint(set(streamed.doc_id))
+    assert set(novel.doc_id) <= set(streamed.doc_id)
