@@ -329,6 +329,12 @@ BNLJ_ALLOWED = {
     "histogram_quantile",
     # categorical_mi's 1-row corpus-total broadcast
     "categorical_mi",
+    # round-4 batch 5: rolling HLL's calendar-bounded day-grid range
+    # join (30 x 7 x 256 rows), triangle stats' 1-row wedge x tri
+    # scalar join, PMI's 1-row totals broadcast
+    "rolling_distinct_hll",
+    "graph_triangle_stats",
+    "cooccurrence_pmi",
 }
 
 

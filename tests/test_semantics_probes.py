@@ -402,3 +402,38 @@ def test_categorical_mi_nonnegative_and_bounded(con):
     assert r.mi_nats >= -1e-9
     assert r.chi2 >= 0
     assert r.n_cells > 0
+
+
+def test_rolling_hll_tracks_exact_within_sketch_error(con):
+    d = con.execute(_oracle("rolling_distinct_hll")).fetchdf()
+    assert len(d) >= 7
+    assert (d.rel_err < 0.15).all(), d.rel_err.max()  # m=256 -> ~6.5% rse
+    assert (d.exact_users > 0).all()
+
+
+def test_triangle_stats_consistent(con):
+    d = con.execute(_oracle("graph_triangle_stats")).fetchdf()
+    r = d.iloc[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    assert r.n_triangles >= 0
+    assert r.n_wedges >= r.n_triangles * 3  # every triangle closes 3 wedges
+    assert 0 <= r.global_clustering <= 1
+
+
+def test_interleave_positions_unique_and_cycling(con):
+    d = con.execute(_oracle("training_order_interleave")).fetchdf()
+    assert d.global_pos.is_unique
+    n_src = d.source.nunique()
+    # consecutive occupied positions rotate sources: within the dense
+    # head (all sources still active) position % n_src identifies source
+    head = d[d.global_pos < n_src * 10].sort_values("global_pos")
+    by_slot = head.groupby(head.global_pos % n_src).source.nunique()
+    assert (by_slot == 1).all(), "interleave slots mix sources"
+
+
+def test_pmi_collocations_positive_and_supported(con):
+    d = con.execute(_oracle("cooccurrence_pmi")).fetchdf()
+    assert len(d) == 50
+    assert (d.c_ab >= 10).all()
+    assert d.pmi.is_monotonic_decreasing
+    assert d.pmi.max() > 0, "no positive association found"
