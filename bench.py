@@ -107,6 +107,11 @@ EXTRA = [
     "scd2_point_in_time",
     "histogram_quantile",
     "session_path_topk",
+    "record_linkage_blocked",
+    "rolling_distinct_hll",
+    "graph_triangle_stats",
+    "cooccurrence_pmi",
+    "training_order_interleave",
 ]
 
 

