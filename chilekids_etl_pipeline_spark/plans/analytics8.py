@@ -177,3 +177,50 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.sql(_triangle_edges_sql("spark"))
     edges.persist().createOrReplaceTempView("tri_edges_mat")
     return spark.sql(_triangle_sql("spark", edges_src="tri_edges_mat"))
+
+
+# ---------------------------------------------------------------------------
+# feature scaling (z-score / percent-rank / min-max)
+
+def _scaling_sql(dialect: str) -> str:
+    return """
+WITH sampled AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+stats AS (
+    SELECT o_orderstatus,
+           avg(o_totalprice) AS mu,
+           stddev_samp(o_totalprice) AS sigma,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM sampled GROUP BY o_orderstatus
+),
+ranked AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           percent_rank() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS pr
+    FROM sampled
+)
+SELECT r.o_orderkey, r.o_orderstatus,
+       round((r.o_totalprice - s.mu) / s.sigma, 6) AS z_score,
+       round(r.pr, 6) AS pct_rank,
+       round((r.o_totalprice - s.lo) / (s.hi - s.lo), 6) AS min_max
+FROM ranked r JOIN stats s ON r.o_orderstatus = s.o_orderstatus
+"""
+
+
+@register("feature_scaling", oracle=_scaling_sql("duckdb"))
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization three ways — z-score (group
+    moments), percent-rank (distribution-free), min-max — the standard
+    prep before features feed a model, done per status group so one
+    group's scale does not leak into another's. Group stats come from
+    one map-side-combined aggregate broadcast back onto the rows; the
+    only sort is the per-group percent_rank window, which at 100 TB is
+    the one to replace with the histogram_quantile sketch if the group
+    is a whole fact table. percent_rank and stddev_samp evaluate
+    identically in Spark and DuckDB; ties in the rank window are broken
+    by key so both engines order identically."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_scaling_sql("spark"))

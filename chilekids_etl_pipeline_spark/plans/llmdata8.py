@@ -160,3 +160,152 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pmi_sql("spark", allbi_src_override="pmi_allbi_mat",
                  uni_src_override="pmi_uni_mat")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit
+
+_ZIPF_HEAD = 1000
+
+
+def _zipf_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    uni = f"explode({w})" if dialect == "spark" else f"unnest({w})"
+    return f"""
+WITH counts AS (
+    SELECT word, cast(count(*) AS bigint) AS c FROM (
+        SELECT {uni} AS word FROM documents
+    ) u GROUP BY word
+),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk FROM counts
+),
+pts AS (
+    SELECT ln(cast(rk AS double)) AS x, ln(cast(c AS double)) AS y
+    FROM ranked WHERE rk <= {_ZIPF_HEAD}
+),
+sums AS (
+    SELECT cast(count(*) AS bigint) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM pts
+)
+SELECT n AS n_points,
+       round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 5)
+           AS zipf_exponent,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 5)
+           AS log_intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2
+FROM sums
+"""
+
+
+@register("zipf_fit", oracle=_zipf_sql("duckdb"))
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit of the term-frequency distribution: closed-form
+    least squares on (ln rank, ln count) over the top-1000 terms —
+    natural text sits near exponent 1 with high r²; machine-generated
+    or template spam bends the curve, which makes this a one-row
+    corpus-health indicator (the distributional cousin of
+    vocab_growth_curve's Heaps fit). One explode+count, one rank
+    window over the vocab table, and a single-row moment reduction;
+    the regression algebra runs on six aggregate sums. Rounded to 5 dp
+    — the 1000-term double sums agree across engines far below that."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_zipf_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# candidate-pair similarity histogram
+
+_SIMH_N = 5        # shingle width
+_SIMH_DF_PCT = 20  # df cap: shingle must appear in <= n_docs/20 docs
+
+
+def _simhist_docs_cte(dialect: str) -> str:
+    """Corpus + planted near-dups (drop the first 3 words of every 30th
+    doc) so the high-similarity buckets are populated."""
+    w = words_sql(dialect)
+    if dialect == "spark":
+        tail = f"concat_ws(' ', slice({w}, 4, size({w})))"
+    else:
+        tail = f"array_to_string(list_slice({w}, 4, len({w})), ' ')"
+    return f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 700000 AS doc_id, {tail} AS text
+    FROM documents WHERE doc_id % 30 = 0
+"""
+
+
+def _simhist_sql(dialect: str, sh_src: str | None = None) -> str:
+    from ..functions.text import shingles_sql
+
+    grams = shingles_sql(dialect, words_sql(dialect), _SIMH_N)
+    ex = "explode" if dialect == "spark" else "unnest"
+    sh_body = (
+        f"SELECT doc_id, g FROM {sh_src}"
+        if sh_src
+        else f"SELECT doc_id, {ex}({grams}) AS g FROM docs"
+    )
+    return f"""
+WITH docs AS ({_simhist_docs_cte(dialect)}),
+sh AS ({sh_body}),
+df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
+corpus AS (SELECT count(*) AS n FROM docs),
+keep AS (
+    SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_SIMH_DF_PCT} <= n
+),
+shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+    SELECT i.i / cast(sa.sz + sb.sz - i.i AS double) AS j
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+bucketed AS (
+    SELECT least(cast(floor(j * 10) AS int), 9) AS bucket,
+           cast(count(*) AS bigint) AS n_pairs
+    FROM jac GROUP BY least(cast(floor(j * 10) AS int), 9)
+)
+SELECT bucket,
+       round(bucket / cast(10 AS double), 1) AS sim_lo,
+       n_pairs
+FROM bucketed
+"""
+
+
+@register("similarity_histogram", oracle=_simhist_sql("duckdb"))
+def similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise Jaccard similarity over candidate pairs
+    (pairs sharing ≥1 non-boilerplate shingle) — the curve that picks
+    the dedup threshold BEFORE committing a full dedup run: a bimodal
+    histogram (noise mass near 0, a planted/true near-dup mode near 1)
+    says 0.8 is safe; a smeared one says the corpus needs containment
+    or substring treatment instead. Same df-capped inverted-index join
+    bound as minhash_containment (no all-pairs work); at production
+    scale the same histogram is computed from MinHash signature
+    agreement instead of exact intersections, same output shape.
+
+    Perf: the shingle CTE is referenced four times — materialized once
+    on the Spark side (the standing CTE-inlining lesson)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("documents")
+    from ..functions.text import shingles_sql
+
+    grams_expr = shingles_sql("spark", words_sql("spark"), _SIMH_N)
+    sh = spark.sql(
+        f"WITH docs AS ({_simhist_docs_cte('spark')}) "
+        f"SELECT doc_id, explode({grams_expr}) AS g FROM docs"
+    )
+    sh.persist().createOrReplaceTempView("simhist_sh_mat")
+    return spark.sql(_simhist_sql("spark", sh_src="simhist_sh_mat"))

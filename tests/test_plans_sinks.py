@@ -335,6 +335,8 @@ BNLJ_ALLOWED = {
     "rolling_distinct_hll",
     "graph_triangle_stats",
     "cooccurrence_pmi",
+    # similarity_histogram's 1-row corpus-count broadcast (df cap)
+    "similarity_histogram",
 }
 
 

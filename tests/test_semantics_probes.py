@@ -437,3 +437,39 @@ def test_pmi_collocations_positive_and_supported(con):
     assert (d.c_ab >= 10).all()
     assert d.pmi.is_monotonic_decreasing
     assert d.pmi.max() > 0, "no positive association found"
+
+
+def test_zipf_fit_flags_synthetic_text(con):
+    """The synthetic corpus draws from a tiny near-uniform vocabulary —
+    exactly the distribution the Zipf gate exists to FLAG (natural text
+    has exponent ≈ 1 with high r²). The probe pins that the fit reports
+    the non-natural shape rather than hallucinating Zipfian structure,
+    and that the regression algebra is sane."""
+    d = con.execute(_oracle("zipf_fit")).fetchdf()
+    r = d.iloc[0]
+    vocab = con.execute(
+        "SELECT count(DISTINCT word) FROM (SELECT unnest(list_filter("
+        "string_split(text, ' '), x -> x <> '')) AS word FROM documents) w"
+    ).fetchone()[0]
+    assert r.n_points == min(1000, vocab)
+    assert 0 <= r.r2 <= 1
+    # uniform vocab -> flat rank curve: far from natural text's (1, high-r2)
+    assert r.zipf_exponent < 0.5 or r.r2 < 0.5, (
+        "synthetic uniform corpus misread as Zipfian"
+    )
+
+
+def test_similarity_histogram_bimodal_with_planted_mode(con):
+    d = con.execute(_oracle("similarity_histogram")).fetchdf()
+    assert (d.n_pairs > 0).all()
+    assert d.bucket.min() <= 1, "no low-similarity noise mass"
+    assert d.bucket.max() >= 8, "planted near-dups missing from top bucket"
+
+
+def test_feature_scaling_ranges(con):
+    d = con.execute(_oracle("feature_scaling")).fetchdf()
+    assert ((d.pct_rank >= 0) & (d.pct_rank <= 1)).all()
+    assert ((d.min_max >= 0) & (d.min_max <= 1)).all()
+    assert d.z_score.abs().max() > 1  # spread exists
+    g = d.groupby("o_orderstatus").z_score.mean().abs()
+    assert (g < 0.2).all()  # centered per group
