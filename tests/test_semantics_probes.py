@@ -473,3 +473,9 @@ def test_feature_scaling_ranges(con):
     assert d.z_score.abs().max() > 1  # spread exists
     g = d.groupby("o_orderstatus").z_score.mean().abs()
     assert (g < 0.2).all()  # centered per group
+
+
+def test_ivm_merge_equals_full_recompute(con):
+    d = con.execute(_oracle("incremental_mart_merge")).fetchdf()
+    assert len(d) > 0
+    assert d.matches_full.all(), "delta merge diverged from full recompute"
