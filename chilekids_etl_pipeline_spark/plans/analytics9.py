@@ -1,0 +1,254 @@
+"""Extended analytics, batch 9: survival analysis (Kaplan-Meier churn
+curve), experimentation (two-proportion conversion z-test), cohort LTV
+accumulation, and day-of-week seasonality indexing — the statistical
+mart layer a growth/analytics team runs daily.
+
+Dual-dialect SQL templates; products become exp(sum(ln)) so the
+cumulative survival estimator stays a windowed aggregate. Registered
+after the external gate window; rotates next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (customer lifetime until churn)
+
+def _km_sql(dialect: str) -> str:
+    if dialect == "spark":
+        life = "datediff(last_date, first_date)"
+        horizon = "datediff(ref_date, last_date)"
+    else:
+        life = "datediff('day', first_date, last_date)"
+        horizon = "datediff('day', last_date, ref_date)"
+    return f"""
+WITH spans AS (
+    SELECT o_custkey,
+           cast(min(o_orderdate) AS date) AS first_date,
+           cast(max(o_orderdate) AS date) AS last_date
+    FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT cast(max(o_orderdate) AS date) AS ref_date FROM orders),
+subjects AS (
+    SELECT o_custkey,
+           cast({life} AS bigint) AS lifetime_days,
+           {horizon} > 365 AS churned
+    FROM spans CROSS JOIN ref
+),
+-- month-bucketed event times keep the curve table small
+buckets AS (
+    SELECT CASE WHEN lifetime_days = 0 THEN 0
+                ELSE (lifetime_days - 1) DIV_30 + 1 END AS t,
+           cast(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS bigint) AS d,
+           cast(count(*) AS bigint) AS ended_here
+    FROM subjects GROUP BY 1
+),
+ordered AS (
+    SELECT t, d, ended_here,
+           cast(sum(ended_here) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+               AS n_at_risk
+    FROM buckets
+)
+SELECT t AS month_bucket, n_at_risk, d AS n_churn_events,
+       round(exp(sum(CASE WHEN d < n_at_risk AND d > 0
+                          THEN ln(1 - d / cast(n_at_risk AS double))
+                          ELSE 0 END)
+                 OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS survival
+FROM ordered
+"""
+
+
+def _km_dialect(dialect: str) -> str:
+    div = "DIV 30" if dialect == "spark" else "// 30"
+    return _km_sql(dialect).replace("DIV_30", div)
+
+
+@register("survival_km_curve", oracle=_km_dialect("duckdb"))
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (first order →
+    last order, churn = 365 days idle at the horizon, still-active
+    customers censored): the estimator every retention team wants and
+    most SQL engines make awkward — the cumulative product Π(1 - d/n)
+    becomes exp of a windowed sum of logs, so the whole curve is one
+    window pass over the MONTH-BUCKETED event-time table (≤ ~90 rows
+    at any data scale; the per-customer reduction is the only
+    fact-sized shuffle). At-risk counts come from a reverse-cumulative
+    sum rather than a per-time self-join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_km_dialect("spark"))
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion z-test
+
+def _ab_sql(dialect: str) -> str:
+    return """
+WITH assignments AS (
+    SELECT user_id, user_id % 2 AS arm FROM events GROUP BY user_id
+),
+outcomes AS (
+    SELECT a.arm,
+           cast(count(*) AS bigint) AS n_users,
+           cast(sum(CASE WHEN p.purchased THEN 1 ELSE 0 END) AS bigint)
+               AS n_converted
+    FROM assignments a
+    LEFT JOIN (
+        SELECT user_id, count(*) > 0 AS purchased
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ) p ON p.user_id = a.user_id
+    GROUP BY a.arm
+),
+wide AS (
+    SELECT
+        max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+        max(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+        max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+        max(CASE WHEN arm = 1 THEN n_converted END) AS c1
+    FROM outcomes
+)
+SELECT n0 AS n_control, c0 AS conv_control,
+       round(c0 / cast(n0 AS double), 6) AS rate_control,
+       n1 AS n_treat, c1 AS conv_treat,
+       round(c1 / cast(n1 AS double), 6) AS rate_treat,
+       round(c1 / cast(n1 AS double) - c0 / cast(n0 AS double), 6)
+           AS abs_lift,
+       round((c1 / cast(n1 AS double) - c0 / cast(n0 AS double))
+             / nullif(sqrt(((c0 + c1) / cast(n0 + n1 AS double))
+                    * (1 - (c0 + c1) / cast(n0 + n1 AS double))
+                    * (1 / cast(n0 AS double) + 1 / cast(n1 AS double))),
+                      cast(0 AS double)),
+             4) AS z_stat
+FROM wide
+"""
+
+
+@register("ab_test_conversion", oracle=_ab_sql("duckdb"))
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between two user
+    arms (deterministic hash assignment here; in production the arm
+    column comes from the experiment system) — the read-out every A/B
+    platform computes. Per-user conversion reduces the event stream
+    once; the z statistic is pure scalar algebra on the 2-row arm
+    table, pivoted wide so the output is a single row a dashboard can
+    alert on. |z| > 1.96 ≈ p < 0.05 under the pooled-variance normal
+    approximation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ab_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV accumulation
+
+def _ltv_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        months = ("(year(o_orderdate) - year(cohort_month)) * 12 "
+                  "+ month(o_orderdate) - month(cohort_month)")
+    else:
+        months = ("(date_part('year', o_orderdate) "
+                  "- date_part('year', cohort_month)) * 12 "
+                  "+ date_part('month', o_orderdate) "
+                  "- date_part('month', cohort_month)")
+    return f"""
+WITH firsts AS (
+    SELECT o_custkey,
+           cast(date_trunc('month', min(o_orderdate)) AS date)
+               AS cohort_month
+    FROM orders GROUP BY o_custkey
+),
+sized AS (
+    SELECT cohort_month, cast(count(*) AS bigint) AS cohort_size
+    FROM firsts GROUP BY cohort_month
+),
+monthly AS (
+    -- exact decimal so the cumulative sum (and the per-customer
+    -- division below) cannot flip a rounding boundary across engines
+    SELECT f.cohort_month,
+           cast({months} AS bigint) AS months_since,
+           sum(cast(o.o_totalprice AS decimal(18, 2))) AS revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY f.cohort_month, {months}
+),
+accum AS (
+    SELECT cohort_month, months_since,
+           sum(revenue) OVER (PARTITION BY cohort_month
+                              ORDER BY months_since
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_revenue
+    FROM monthly
+)
+SELECT a.cohort_month, a.months_since,
+       cast(a.cum_revenue AS double) AS cum_revenue,
+       s.cohort_size,
+       -- integer cents, floored: round() at any scale can land on a
+       -- representable half (cents/8 = x.5) where Spark rounds half-up
+       -- and DuckDB half-even
+       cast(cast(a.cum_revenue * 100 AS bigint) {idiv} s.cohort_size
+            AS bigint) AS ltv_cents_per_customer
+FROM accum a JOIN sized s ON s.cohort_month = a.cohort_month
+WHERE a.months_since <= 24 AND a.cohort_month <= cast('1996-12-31' AS date)
+"""
+
+
+@register("customer_ltv_cohort", oracle=_ltv_sql("duckdb"))
+def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, each
+    cohort's revenue accumulated over months-since-acquisition and
+    normalized per customer — the payback-period table acquisition
+    spend is judged against (the revenue twin of
+    events_cohort_retention). One fact-sized join back to the
+    first-order table (both shuffled on custkey), then the cumulative
+    window runs over the cohort × month matrix, which is
+    calendar-bounded at any data scale. Cohorts are cut at 1996 and 24
+    months so every reported cohort has a full observation window."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ltv_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# day-of-week seasonality
+
+def _dow_sql(dialect: str) -> str:
+    dow = (
+        "dayofweek(o_orderdate)"
+        if dialect == "spark"
+        else "(date_part('dow', o_orderdate) + 1)"
+    )
+    return f"""
+WITH daily AS (
+    SELECT cast({dow} AS bigint) AS dow,
+           cast(count(*) AS bigint) AS n_orders,
+           sum(o_totalprice) AS revenue
+    FROM orders GROUP BY 1
+),
+tot AS (
+    SELECT sum(revenue) / 7 AS mean_rev,
+           sum(n_orders) / cast(7 AS double) AS mean_orders
+    FROM daily
+)
+SELECT d.dow, d.n_orders,
+       round(d.revenue, 2) AS revenue,
+       round(d.revenue / t.mean_rev, 6) AS revenue_index,
+       round(d.n_orders / t.mean_orders, 6) AS volume_index
+FROM daily d CROSS JOIN tot t
+"""
+
+
+@register("orders_seasonality_dow", oracle=_dow_sql("duckdb"))
+def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: each weekday's revenue and volume
+    relative to the weekly mean (index 1.0 = no seasonality) — the
+    decomposition input for staffing/forecast baselines and the
+    denominator when an anomaly detector must not fire every weekend.
+    One 7-row aggregate and a 1-row mean broadcast. Spark's dayofweek
+    is 1=Sunday; DuckDB's dow is 0=Sunday, shifted +1 in the template
+    so both engines emit the same bucket ids."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_dow_sql("spark"))

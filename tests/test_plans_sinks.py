@@ -337,6 +337,10 @@ BNLJ_ALLOWED = {
     "cooccurrence_pmi",
     # similarity_histogram's 1-row corpus-count broadcast (df cap)
     "similarity_histogram",
+    # batch 9: 1-row reference-date (KM) and weekly-mean (seasonality)
+    # scalar broadcasts
+    "survival_km_curve",
+    "orders_seasonality_dow",
 }
 
 

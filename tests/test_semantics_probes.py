@@ -479,3 +479,35 @@ def test_ivm_merge_equals_full_recompute(con):
     d = con.execute(_oracle("incremental_mart_merge")).fetchdf()
     assert len(d) > 0
     assert d.matches_full.all(), "delta merge diverged from full recompute"
+
+
+def test_km_curve_monotone_from_one(con):
+    d = con.execute(_oracle("survival_km_curve")).fetchdf().sort_values(
+        "month_bucket"
+    )
+    assert (d.survival <= 1).all() and (d.survival > 0).all()
+    assert d.survival.is_monotonic_decreasing
+    assert d.survival.iloc[-1] < d.survival.iloc[0], "no churn events bit"
+    assert d.n_at_risk.is_monotonic_decreasing
+
+
+def test_ab_test_wellformed(con):
+    d = con.execute(_oracle("ab_test_conversion")).fetchdf()
+    r = d.iloc[0]
+    assert r.n_control > 0 and r.n_treat > 0
+    assert 0 <= r.rate_control <= 1 and 0 <= r.rate_treat <= 1
+    assert abs(r.abs_lift - (r.rate_treat - r.rate_control)) < 1e-9
+
+
+def test_ltv_accumulates(con):
+    d = con.execute(_oracle("customer_ltv_cohort")).fetchdf()
+    g = d.sort_values("months_since").groupby("cohort_month")
+    assert all(s.cum_revenue.is_monotonic_increasing for _, s in g)
+    assert (d.ltv_cents_per_customer > 0).all()
+
+
+def test_seasonality_indices_average_to_one(con):
+    d = con.execute(_oracle("orders_seasonality_dow")).fetchdf()
+    assert len(d) == 7
+    assert abs(d.revenue_index.mean() - 1) < 0.01
+    assert abs(d.volume_index.mean() - 1) < 0.01
