@@ -112,6 +112,11 @@ EXTRA = [
     "graph_triangle_stats",
     "cooccurrence_pmi",
     "training_order_interleave",
+    "similarity_histogram",
+    "zipf_fit",
+    "incremental_mart_merge",
+    "survival_km_curve",
+    "customer_ltv_cohort",
 ]
 
 

@@ -46,7 +46,7 @@ def load_all() -> None:
 
     # Round-4 batch 3 — newest entries register last so that when the
     # unverified set outgrows the window, the overflow is the newest work.
-    from . import llmdata6, analytics6, llmdata7, analytics7, llmdata8, analytics8, analytics9  # noqa: F401
+    from . import llmdata6, analytics6, llmdata7, analytics7, llmdata8, analytics8, analytics9, llmdata9  # noqa: F401
 
     verified = _externally_verified()
     ordered = {

@@ -24,7 +24,14 @@ def _hist_sql(dialect: str) -> str:
         if dialect == "spark"
         else "(cents >> (msb - 3))"
     )
-    pct = "percentile" if dialect == "spark" else "quantile_cont"
+    if dialect == "spark":
+        pcts = ("percentile(cents, array(cast(0.5 AS double), "
+                "cast(0.9 AS double), cast(0.99 AS double)))")
+        el = "element_at(qs, {i})"
+    else:
+        pcts = ("quantile_cont(cents, [cast(0.5 AS double), "
+                "cast(0.9 AS double), cast(0.99 AS double)])")
+        el = "qs[{i}]"
     # bare decimal literals parse as DECIMAL in Spark (q would hash as
     # "0.50" against DuckDB's double "0.5") — force double elements
     qrows = (
@@ -75,10 +82,10 @@ est AS (
     FROM crossing WHERE rn = 1
 ),
 exact AS (
-    SELECT {pct}(cents, 0.5) AS e50,
-           {pct}(cents, 0.9) AS e90,
-           {pct}(cents, 0.99) AS e99
-    FROM vals
+    SELECT {el.format(i=1)} AS e50,
+           {el.format(i=2)} AS e90,
+           {el.format(i=3)} AS e99
+    FROM (SELECT {pcts} AS qs FROM vals) q
 )
 SELECT q,
        round(est_cents / 100, 4) AS est_value,
@@ -110,6 +117,10 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile here is the verification side, not the scale path.
     Estimates interpolate linearly inside the crossing bin using the
     bin's observed [lo, hi] (tighter than nominal bin edges)."""
+    # A/B'd: repartitioning past the single-row-group scan does NOT pay
+    # here — the exchange costs what the parallel percentile buffers
+    # save. The real win was one array-percentile call instead of three
+    # separate sorts (1.7 → ~1.0 s at sf0.1).
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_hist_sql("spark"))
 

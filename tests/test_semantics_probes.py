@@ -511,3 +511,37 @@ def test_seasonality_indices_average_to_one(con):
     assert len(d) == 7
     assert abs(d.revenue_index.mean() - 1) < 0.01
     assert abs(d.volume_index.mean() - 1) < 0.01
+
+
+def test_span_plan_within_bounds_and_near_rate(con):
+    d = con.execute(_oracle("span_corruption_plan")).fetchdf()
+    assert (d.end_pos > d.start_pos).all()
+    assert (d.n_masked <= 3).all() and (d.n_masked >= 1).all()
+    # spans of one doc never overlap (starts spaced >= span length)
+    g = d.sort_values(["doc_id", "span_idx"]).groupby("doc_id")
+    for _, s in g:
+        if len(s) > 1:
+            assert (s.start_pos.values[1:] >= s.end_pos.values[:-1]).all()
+
+
+def test_rouge_planted_summaries_score_high(con):
+    d = con.execute(_oracle("rouge_overlap_eval")).fetchdf()
+    # a verbatim slice of the reference must have recall bounded by
+    # its length share but well above zero, and never exceed 1
+    assert ((d.rouge1_recall > 0) & (d.rouge1_recall <= 1)).all()
+    assert ((d.rouge2_recall >= 0) & (d.rouge2_recall <= 1)).all()
+    assert (d.rouge1_recall >= d.rouge2_recall - 1e-9).mean() > 0.9
+
+
+def test_dpo_pairs_have_positive_margin(con):
+    d = con.execute(_oracle("dpo_pair_construction")).fetchdf()
+    assert (d.margin > 0).all(), "chosen not strictly better than rejected"
+    assert d.source.is_unique  # exactly one pair per group
+
+
+def test_vocab_coverage_monotone(con):
+    d = con.execute(_oracle("tokenizer_vocab_coverage")).fetchdf()
+    r = d.iloc[0]
+    assert (r.coverage_top10 <= r.coverage_top100
+            <= r.coverage_top1000 <= r.coverage_top5000 <= 1)
+    assert r.coverage_top10 > 0
