@@ -252,3 +252,97 @@ def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines emit the same bucket ids."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_dow_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+
+_BLOOM_BITS = 16384  # m = 2^14 bits -> 261 63-bit words (bit 63 stays clear: DuckDB checks overflow on 1<<63)
+_BLOOM_K = 3
+_BLOOM_CUTOFF = 400000  # orders above this price form the filter
+
+
+def _bloom_sql(dialect: str) -> str:
+    s = "string" if dialect == "spark" else "varchar"
+    idiv = "DIV" if dialect == "spark" else "//"
+    shl = (
+        "shiftleft(cast(1 AS bigint), cast(p % 63 AS int))"
+        if dialect == "spark"
+        else "(cast(1 AS bigint) << cast(p % 63 AS int))"
+    )
+    ex = "explode" if dialect == "spark" else "unnest"
+    ks = (
+        f"{ex}(sequence(0, {_BLOOM_K - 1}))"
+        if dialect == "spark"
+        else f"{ex}(range(0, {_BLOOM_K}))"
+    )
+    if dialect == "spark":
+        pos = (f"cast(conv(substr(md5(concat(cast(i AS {s}), ':', "
+               f"cast(key AS {s}))), 1, 8), 16, 10) AS bigint) "
+               f"% {_BLOOM_BITS}")
+    else:
+        pos = (f"cast(('0x' || substr(md5(concat(cast(i AS {s}), ':', "
+               f"cast(key AS {s}))), 1, 8)) AS bigint) % {_BLOOM_BITS}")
+    return f"""
+WITH keys AS (
+    SELECT DISTINCT o_orderkey AS key FROM orders
+    WHERE o_totalprice > {_BLOOM_CUTOFF}
+),
+key_bits AS (
+    SELECT key, i, {pos} AS p
+    FROM (SELECT key, {ks} AS i FROM keys) ki
+),
+bloom AS (
+    SELECT p {idiv} 63 AS w, bit_or({shl}) AS bits
+    FROM key_bits GROUP BY p {idiv} 63
+),
+probes AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+probe_bits AS (
+    SELECT key, i, {pos} AS p
+    FROM (SELECT key, {ks} AS i FROM probes) pi
+),
+tested AS (
+    SELECT pb.key,
+           min(CASE WHEN b.bits IS NOT NULL
+                     AND (b.bits & {shl.replace("p %", "pb.p %")}) != 0
+                    THEN 1 ELSE 0 END) AS all_bits_set
+    FROM (SELECT key, i, p FROM probe_bits) pb
+    LEFT JOIN bloom b ON b.w = pb.p {idiv} 63
+    GROUP BY pb.key
+),
+truth AS (
+    SELECT p.key,
+           CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END AS is_member
+    FROM probes p LEFT JOIN keys k ON k.key = p.key
+)
+SELECT cast((SELECT count(*) FROM keys) AS bigint) AS n_filter_keys,
+       cast(count(*) AS bigint) AS n_probes,
+       cast(sum(t.all_bits_set) AS bigint) AS n_candidates,
+       cast(sum(tr.is_member) AS bigint) AS n_true_members,
+       cast(sum(CASE WHEN t.all_bits_set = 1 AND tr.is_member = 0
+                     THEN 1 ELSE 0 END) AS bigint) AS n_false_positives,
+       round(sum(CASE WHEN t.all_bits_set = 1 AND tr.is_member = 0
+                      THEN 1 ELSE 0 END)
+             / cast(count(*) - sum(tr.is_member) AS double), 6)
+           AS false_positive_rate
+FROM tested t JOIN truth tr ON tr.key = t.key
+"""
+
+
+@register("bloom_prune_semijoin", oracle=_bloom_sql("duckdb"))
+def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter semi-join pruning, with its false-positive
+    rate measured against the exact semi-join in the same output. The
+    filter side reduces to 261 63-bit words (bit 63 stays clear: DuckDB checks overflow on 1<<63) via bit_or aggregation
+    (k=3 salted-md5 bit positions per key) — a sketch small enough to
+    BROADCAST, which is the entire point at 100 TB: the big fact side
+    is pre-filtered by bitmask probes before the real shuffle join, so
+    only candidates (true members + the measured ~small FP rate) pay
+    shuffle I/O. This is what Spark's runtime row-group/shuffle Bloom
+    pruning does internally, built here from portable integer
+    expressions so the oracle verifies every bit. A Bloom filter never
+    false-negatives — the probe's n_candidates ≥ n_true_members
+    invariant is pinned by a probe test."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_bloom_sql("spark"))

@@ -545,3 +545,17 @@ def test_vocab_coverage_monotone(con):
     assert (r.coverage_top10 <= r.coverage_top100
             <= r.coverage_top1000 <= r.coverage_top5000 <= 1)
     assert r.coverage_top10 > 0
+
+
+def test_bloom_never_false_negative_and_fp_near_theory(con):
+    import math
+
+    d = con.execute(_oracle("bloom_prune_semijoin")).fetchdf()
+    r = d.iloc[0]
+    assert r.n_candidates >= r.n_true_members  # no false negatives, ever
+    assert r.n_false_positives == r.n_candidates - r.n_true_members
+    # k=3, m=16384: fp ~ (1 - e^(-k*n/m))^k; allow 2x slack
+    theory = (1 - math.exp(-3 * r.n_filter_keys / 16384)) ** 3
+    assert r.false_positive_rate < max(2 * theory, 0.02), (
+        r.false_positive_rate, theory
+    )
