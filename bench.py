@@ -117,6 +117,11 @@ EXTRA = [
     "incremental_mart_merge",
     "survival_km_curve",
     "customer_ltv_cohort",
+    "rouge_overlap_eval",
+    "span_corruption_plan",
+    "dpo_pair_construction",
+    "tokenizer_vocab_coverage",
+    "bloom_prune_semijoin",
 ]
 
 

@@ -191,7 +191,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: semantic near-dup removal within IVF cells
 
 _SEM_THRESHOLD = 0.98
-_SEM_K = 8  # coarse cells
+_SEM_K = 32  # coarse cells (52k vectors at sf0.1 -> ~1.6k/cell; pair work scales 1/K)
 
 
 def _sem_exprs(dialect: str) -> tuple[str, str, str, str]:
@@ -288,7 +288,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Perf: the (vec_id, v, nrm) table persists once — the norms CTE is
     referenced four times and inlining re-derived the vector transforms
-    each time (2.3 s → sub-second at sf0.1)."""
+    each time; K=32 coarse cells (was 8) keeps pair work at ~1/K of
+    all-pairs, the SemDeDup cells-grow-with-corpus rule (2.1 → 1.5 s
+    at sf0.1)."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     norms = spark.sql(_sem_norms_sql("spark"))
     norms.persist().createOrReplaceTempView("sem_norms_mat")
