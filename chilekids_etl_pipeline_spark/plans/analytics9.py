@@ -346,3 +346,130 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_bloom_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# PSI feature drift
+
+def _psi_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH stamped AS (
+    SELECT o_totalprice,
+           cast(round(o_totalprice * 100, 0) AS bigint) AS cents,
+           o_orderdate <= cast('1995-06-30' AS date) AS is_ref
+    FROM orders
+),
+binned AS (
+    SELECT is_ref,
+           CASE WHEN msb >= 3
+                THEN msb * 4 + ((cents >> (msb - 3)) % 4)
+                ELSE msb * 4 END AS bin_id
+    FROM (SELECT is_ref, cents, length(bin(cents)) AS msb FROM stamped) m
+),
+hist AS (
+    SELECT bin_id,
+           cast(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS bigint) AS n_ref,
+           cast(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS bigint) AS n_cur
+    FROM binned GROUP BY bin_id
+),
+tot AS (
+    SELECT cast(sum(n_ref) AS bigint) AS t_ref,
+           cast(sum(n_cur) AS bigint) AS t_cur
+    FROM hist
+),
+terms AS (
+    SELECT h.bin_id,
+           (h.n_ref + 1) / cast(t.t_ref + nb.n AS double) AS p,
+           (h.n_cur + 1) / cast(t.t_cur + nb.n AS double) AS q
+    FROM hist h
+    CROSS JOIN tot t
+    CROSS JOIN (SELECT cast(count(*) AS bigint) AS n FROM hist) nb
+)
+SELECT cast(count(*) AS bigint) AS n_bins,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(max(abs(p - q)), 6) AS max_bin_shift
+FROM terms
+"""
+
+
+@register("psi_feature_drift", oracle=_psi_sql("duckdb"))
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution
+    between a reference window (≤ mid-1995) and the current one — the
+    standard model-monitoring drift score (<0.1 stable, >0.25 act),
+    here over the same integer-bit bins histogram_quantile uses, so
+    the drift monitor's state is the SAME mergeable histogram the
+    quantile sketch maintains (one histogram per day serves both).
+    Laplace-smoothed (+1 per bin) so empty bins cannot produce
+    log-of-zero; the whole comparison reduces to a ≤ ~70-row bin
+    table. The numeric-feature twin of corpus_drift_js."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_psi_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# entity-level split leakage
+
+def _hash_mod10(dialect: str, col: str) -> str:
+    """First 4 md5 nibbles of ``col`` as an integer, mod 10 — the
+    deterministic split assignment, identical across engines."""
+    s = "string" if dialect == "spark" else "varchar"
+    h = f"substr(md5(cast({col} AS {s})), 1, 4)"
+    if dialect == "spark":
+        return f"(cast(conv({h}, 16, 10) AS bigint) % 10)"
+    return f"(cast(('0x' || {h}) AS bigint) % 10)"
+
+
+def _entity_split_sql(dialect: str) -> str:
+    ev_split = _hash_mod10(dialect, "event_id")
+    us_split = _hash_mod10(dialect, "user_id")
+    return f"""
+WITH by_event AS (
+    SELECT user_id,
+           CASE WHEN {ev_split} < 8 THEN 'train' ELSE 'test' END AS split
+    FROM events
+),
+event_overlap AS (
+    SELECT cast(count(*) AS bigint) AS n_leaky_users FROM (
+        SELECT user_id FROM by_event
+        GROUP BY user_id
+        HAVING count(DISTINCT split) > 1
+    ) u
+),
+by_user AS (
+    SELECT user_id,
+           CASE WHEN {us_split} < 8 THEN 'train' ELSE 'test' END AS split
+    FROM events GROUP BY user_id
+),
+user_overlap AS (
+    SELECT cast(count(*) AS bigint) AS n_leaky_users FROM (
+        SELECT user_id FROM by_user
+        GROUP BY user_id
+        HAVING count(DISTINCT split) > 1
+    ) u
+),
+n AS (SELECT cast(count(DISTINCT user_id) AS bigint) AS n_users FROM events)
+SELECT n.n_users,
+       e.n_leaky_users AS leaky_users_event_split,
+       round(e.n_leaky_users / cast(n.n_users AS double), 6)
+           AS leak_rate_event_split,
+       u.n_leaky_users AS leaky_users_entity_split
+FROM n CROSS JOIN event_overlap e CROSS JOIN user_overlap u
+"""
+
+
+@register("entity_split_check", oracle=_entity_split_sql("duckdb"))
+def entity_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level split integrity: hash-splitting EVENTS sends almost
+    every active user to both train and test (the leakage that inflates
+    every per-user model metric), while hash-splitting USERS leaks
+    nobody by construction — this check quantifies the difference on
+    the same data in one row: how many users straddle the event-level
+    split vs the entity-level one (provably zero). The standard audit
+    before any behavioral-model split is trusted; the per-entity
+    grouping is the only fact-sized shuffle. Complements
+    split_leakage_check, which measures CONTENT leakage between
+    document splits."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_entity_split_sql("spark"))

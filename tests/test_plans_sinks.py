@@ -341,6 +341,10 @@ BNLJ_ALLOWED = {
     # scalar broadcasts
     "survival_km_curve",
     "orders_seasonality_dow",
+    # PSI's 1-row totals + bin-count broadcasts; entity split's three
+    # 1-row overlap counters
+    "psi_feature_drift",
+    "entity_split_check",
 }
 
 

@@ -559,3 +559,20 @@ def test_bloom_never_false_negative_and_fp_near_theory(con):
     assert r.false_positive_rate < max(2 * theory, 0.02), (
         r.false_positive_rate, theory
     )
+
+
+def test_psi_drift_sane(con):
+    d = con.execute(_oracle("psi_feature_drift")).fetchdf()
+    r = d.iloc[0]
+    assert r.psi >= 0  # PSI is a sum of nonneg KL-style terms
+    assert r.n_bins > 5
+    assert r.max_bin_shift < 1
+
+
+def test_entity_split_leaks_and_entity_split_does_not(con):
+    d = con.execute(_oracle("entity_split_check")).fetchdf()
+    r = d.iloc[0]
+    assert r.leaky_users_entity_split == 0  # by construction
+    assert r.leaky_users_event_split > 0.5 * r.n_users, (
+        "event-level split should leak most active users"
+    )
