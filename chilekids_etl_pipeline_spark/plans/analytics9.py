@@ -473,3 +473,121 @@ def entity_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     document splits."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_entity_split_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# item-item similarity top-k
+
+_ITEM_TOP = 5
+
+
+def _item_sim_sql(dialect: str) -> str:
+    return f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+freq AS (
+    SELECT b, cast(count(*) AS bigint) AS n FROM baskets GROUP BY b
+),
+cooc AS (
+    SELECT a.b AS b1, x.b AS b2, cast(count(*) AS bigint) AS n_both
+    FROM baskets a JOIN baskets x ON a.ok = x.ok AND a.b <> x.b
+    GROUP BY a.b, x.b
+),
+scored AS (
+    SELECT c.b1, c.b2, c.n_both,
+           round(c.n_both / sqrt(cast(fa.n AS double) * fb.n), 6) AS cosine
+    FROM cooc c
+    JOIN freq fa ON fa.b = c.b1
+    JOIN freq fb ON fb.b = c.b2
+)
+SELECT b1, b2, n_both, cosine FROM (
+    SELECT b1, b2, n_both, cosine,
+           row_number() OVER (PARTITION BY b1
+                              ORDER BY cosine DESC, b2) AS rk
+    FROM scored
+) ranked WHERE rk <= {_ITEM_TOP}
+"""
+
+
+@register("item_similarity_topk", oracle=_item_sim_sql("duckdb"))
+def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 most-similar brands per
+    brand by co-occurrence cosine (n_both / √(n_a·n_b)) — the
+    "customers also bought" primitive, and the third member of the
+    basket family (pairwise lift → triangles → recommendations). Pair
+    generation is bounded by basket size exactly as in
+    market_basket_pairs; the similarity join touches only the
+    catalog-sized co-occurrence table, and the per-item top-k window
+    partitions on the item. Cosine is rounded before ranking so both
+    engines order identically."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_item_sim_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# consistent-hash resharding
+
+_SHARDS_BEFORE = 8
+_SHARDS_AFTER = 9
+
+
+def _hrw_pick(dialect: str, key: str, n: int) -> str:
+    """Rendezvous (highest-random-weight) shard pick: argmax over
+    md5(shard:key) across n shards, as a greatest-of CASE chain."""
+    s = "string" if dialect == "spark" else "varchar"
+
+    def w(i: int) -> str:
+        h = f"substr(md5(concat('{i}:', cast({key} AS {s}))), 1, 8)"
+        if dialect == "spark":
+            return f"cast(conv({h}, 16, 10) AS bigint)"
+        return f"cast(('0x' || {h}) AS bigint)"
+
+    weights = ", ".join(w(i) for i in range(n))
+    picks = " ".join(
+        f"WHEN greatest({weights}) = {w(i)} THEN {i}" for i in range(n)
+    )
+    return f"CASE {picks} END"
+
+
+def _reshard_sql(dialect: str) -> str:
+    hrw_b = _hrw_pick(dialect, "k", _SHARDS_BEFORE)
+    hrw_a = _hrw_pick(dialect, "k", _SHARDS_AFTER)
+    return f"""
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+assigned AS (
+    SELECT k,
+           k % {_SHARDS_BEFORE} AS mod_before,
+           k % {_SHARDS_AFTER} AS mod_after,
+           {hrw_b} AS hrw_before,
+           {hrw_a} AS hrw_after
+    FROM keys
+)
+SELECT cast(count(*) AS bigint) AS n_keys,
+       cast(sum(CASE WHEN mod_before <> mod_after THEN 1 ELSE 0 END)
+            AS bigint) AS moved_mod,
+       round(sum(CASE WHEN mod_before <> mod_after THEN 1 ELSE 0 END)
+             / cast(count(*) AS double), 6) AS moved_mod_frac,
+       cast(sum(CASE WHEN hrw_before <> hrw_after THEN 1 ELSE 0 END)
+            AS bigint) AS moved_hrw,
+       round(sum(CASE WHEN hrw_before <> hrw_after THEN 1 ELSE 0 END)
+             / cast(count(*) AS double), 6) AS moved_hrw_frac
+FROM assigned
+"""
+
+
+@register("consistent_hash_reshard", oracle=_reshard_sql("duckdb"))
+def consistent_hash_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding cost, measured: growing 8 shards to 9 moves ~8/9 of
+    all keys under modulo assignment but only ~1/9 under rendezvous
+    (highest-random-weight) hashing — the one-row proof of why
+    stateful systems (shuffle services, KV stores, streaming state
+    backends) shard by consistent hashing. Both assignments are pure
+    per-row integer expressions (argmax over salted md5 weights — no
+    ring data structure needed at n this small), so the comparison is
+    one scan over the distinct key set and the oracle verifies every
+    assignment bit-for-bit."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_reshard_sql("spark"))

@@ -576,3 +576,20 @@ def test_entity_split_leaks_and_entity_split_does_not(con):
     assert r.leaky_users_event_split > 0.5 * r.n_users, (
         "event-level split should leak most active users"
     )
+
+
+def test_item_similarity_symmetric_and_ranked(con):
+    d = con.execute(_oracle("item_similarity_topk")).fetchdf()
+    assert ((d.cosine > 0) & (d.cosine <= 1)).all()
+    g = d.groupby("b1")
+    assert (g.size() <= 5).all()
+    for _, s in g:
+        assert s.cosine.is_monotonic_decreasing
+
+
+def test_reshard_theory(con):
+    d = con.execute(_oracle("consistent_hash_reshard")).fetchdf()
+    r = d.iloc[0]
+    # theory: mod moves ~8/9 of keys, rendezvous ~1/9
+    assert abs(r.moved_mod_frac - 8 / 9) < 0.05
+    assert abs(r.moved_hrw_frac - 1 / 9) < 0.05
