@@ -40,8 +40,15 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", oracle=_Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    # A/B'd: this query is per-row-arithmetic-heavy (four decimal
+    # product sums over every lineitem row), so widening past the
+    # few-row-group local scan pays despite the exchange (1.5 → 1.1 s
+    # at sf0.1) — unlike the short join/agg shapes where the same
+    # rebalance was measured as a loss and reverted (commit df386f7).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
     )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
