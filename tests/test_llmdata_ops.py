@@ -210,3 +210,65 @@ def test_pandas_udf_cosine_matches_jvm_expr(spark):
     ).collect()
     for r in out:
         assert abs(r.py - r.jvm) < 1e-9
+
+
+def test_sketch_hash_expressions_match_duckdb_on_fuzz(spark):
+    """The portable sketch primitives (CMS bucket, HLL register index /
+    rank field / rho, the split-assignment hash) must evaluate
+    IDENTICALLY in Spark and DuckDB on arbitrary strings — every sketch
+    entry's cross-engine correctness reduces to this property. Fuzzed
+    over printable text including quotes-free unicode-ish content."""
+    import duckdb as _duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chilekids_etl_pipeline_spark.functions.sketch import (
+        cms_bucket_sql,
+        hll_bucket_sql,
+        hll_rho_sql,
+        hll_w_sql,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                st.sampled_from(list("abcXYZ019 _-#.:!@~")),
+                min_size=0,
+                max_size=24,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def inner(values):
+        df = spark.createDataFrame([(v,) for v in values], "s string")
+        spark_rows = df.selectExpr(
+            f"{cms_bucket_sql('spark', '0', 's')} AS cms0",
+            f"{cms_bucket_sql('spark', '3', 's')} AS cms3",
+            "md5(s) AS h",
+        ).selectExpr(
+            "cms0",
+            "cms3",
+            f"{hll_bucket_sql('spark')} AS bucket",
+            f"{hll_w_sql('spark')} AS w",
+        ).selectExpr(
+            "cms0", "cms3", "bucket", f"{hll_rho_sql()} AS rho"
+        ).collect()
+        got = [(r.cms0, r.cms3, r.bucket, r.rho) for r in spark_rows]
+
+        con = _duckdb.connect()
+        con.execute("CREATE TABLE t(s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+        want = con.execute(
+            f"SELECT cms0, cms3, bucket, {hll_rho_sql()} AS rho FROM ("
+            f"SELECT cms0, cms3, {hll_bucket_sql('duckdb')} AS bucket, "
+            f"{hll_w_sql('duckdb')} AS w FROM ("
+            f"SELECT {cms_bucket_sql('duckdb', '0', 's')} AS cms0, "
+            f"{cms_bucket_sql('duckdb', '3', 's')} AS cms3, "
+            f"md5(s) AS h FROM t) a) b"
+        ).fetchall()
+        assert got == [tuple(r) for r in want]
+
+    inner()
