@@ -45,10 +45,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few-row-group local scan pays despite the exchange (1.5 → 1.1 s
     # at sf0.1) — unlike the short join/agg shapes where the same
     # rebalance was measured as a loss and reverted (commit df386f7).
+    # filter BEFORE repartition: the predicate reaches the parquet scan
+    # (PushedFilters) and the exchange ships only surviving rows
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .repartition(spark.sparkContext.defaultParallelism)
         .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")

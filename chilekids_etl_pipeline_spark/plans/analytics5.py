@@ -166,6 +166,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-less count against them, so the only corpus shuffle is the
     per-customer groupBy. Recency inverts (recent = high score); the
     segment label is the standard 2-axis read of the scores."""
+    # A/B r5 (idle, sf0.1, median of 4): persisted 0.61 s vs inline
+    # 0.81 s — the base aggregate feeds the threshold row AND the final
+    # scoring scan under different exchanges, so the persist is kept.
+    # The r4 driver-bench 2.45 s row was concurrent-load variance
+    # (idle remeasure 0.54-0.66 s).
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     rfm = spark.sql(_rfm_base_sql("spark"))
     rfm.persist().createOrReplaceTempView("rfm_base_mat")

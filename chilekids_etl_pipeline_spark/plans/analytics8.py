@@ -265,7 +265,8 @@ full_recompute AS (
 SELECT cast(m.month AS date) AS month, m.status, m.n_orders,
        round(m.revenue, 2) AS revenue,
        m.n_orders = f.n_orders
-           AND abs(m.revenue - f.revenue) < cast(0.005 AS double)
+           AND abs(m.revenue - f.revenue)
+               < 1e-9 * greatest(abs(f.revenue), cast(1 AS double))
            AS matches_full
 FROM merged m
 JOIN full_recompute f ON f.month = m.month AND f.status = m.status
@@ -281,9 +282,11 @@ def incremental_mart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute. This is THE pattern that keeps a 100 TB mart fresh from
     a 100 GB daily delta (self-maintainable aggregates: SUM/COUNT/MIN
     with insert-only deltas need no base-table revisit; plans/refresh.py
-    holds the partition-overwrite writer side). The equality flag
-    tolerates 0.005 currency-rounding slack because the two sides sum
-    doubles in different orders — the proof is semantic equality, not
-    bit equality."""
+    holds the partition-overwrite writer side). The equality flag uses a
+    RELATIVE 1e-9 tolerance (floored at 1 absolute) because the two
+    sides sum doubles in different orders and accumulated error grows
+    with group size — an absolute epsilon would flip nondeterministically
+    at larger scale factors. The proof is semantic equality, not bit
+    equality."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ivm_sql("spark"))

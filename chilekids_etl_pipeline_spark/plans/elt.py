@@ -131,14 +131,19 @@ def changed_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     A/B'd: the canonical-JSON + md5 hashing is per-row-arithmetic-heavy,
     so widening past the single-row-group local scan pays (1.35 →
     0.85 s at sf0.1) — the same measured exception to the no-blanket-
-    rebalance rule that q1 carries."""
-    ev = load_table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    raw = with_payload_hash(ev, F.expr(_canon("spark"))).select(
-        "event_id", F.col("ts").alias("received_at"), "payload_hash"
-    )
-    staging = raw.filter(F.col("event_id") % 10 < 8)
+    rebalance rule that q1 carries. The staging-snapshot predicate is
+    applied BEFORE its repartition+hash so it reaches the parquet scan
+    and the 20% of rows it drops are never hashed or shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    n = spark.sparkContext.defaultParallelism
+
+    def hashed(df):
+        return with_payload_hash(df.repartition(n), F.expr(_canon("spark"))).select(
+            "event_id", F.col("ts").alias("received_at"), "payload_hash"
+        )
+
+    raw = hashed(ev)
+    staging = hashed(ev.filter(F.col("event_id") % 10 < 8))
     return changed_records(raw, staging)
 
 

@@ -329,6 +329,10 @@ BNLJ_ALLOWED = {
     "histogram_quantile",
     # categorical_mi's 1-row corpus-total broadcast
     "categorical_mi",
+    # round 5: bloom's dense 261-word filter collapses to ONE array row
+    # cross-joined into the probe map — the broadcast-sketch pattern is
+    # the query's entire point; both BNLJ sides are 1-row scalars
+    "bloom_prune_semijoin",
     # round-4 batch 5: rolling HLL's calendar-bounded day-grid range
     # join (30 x 7 x 256 rows), triangle stats' 1-row wedge x tri
     # scalar join, PMI's 1-row totals broadcast
