@@ -29,6 +29,58 @@ def _externally_verified() -> set[str]:
     return green
 
 
+def impl_hash(name: str) -> str:
+    """Fingerprint of what an external green row actually verified: the
+    entry's undecorated function source plus its resolved oracle SQL
+    (templates shared between both dialects flow through the oracle
+    string, so template edits change the hash too)."""
+    import hashlib
+    import inspect
+
+    e = QUERIES[name]
+    src = inspect.getsource(e.raw_fn) if e.raw_fn is not None else ""
+    oracle = e.oracle() if callable(e.oracle) else (e.oracle or "")
+    return hashlib.md5((src + "\n--\n" + oracle).encode()).hexdigest()
+
+
+def _verified_impl_hashes() -> dict[str, str]:
+    """Committed key → impl_hash map (tools/update_verified_hashes.py),
+    recorded when each key's green row landed. Missing file → empty."""
+    import json
+    from pathlib import Path
+
+    path = (
+        Path(__file__).resolve().parent.parent.parent
+        / "VERIFIED_IMPLS.json"
+    )
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+    # "_pending" (and any future _meta keys) are bookkeeping, not hashes
+    return {k: v for k, v in data.items() if not k.startswith("_")}
+
+
+def externally_verified() -> set[str]:
+    """Keys whose green external row still vouches for the CURRENT
+    implementation: green in a committed CORRECTNESS_r*.json AND the
+    committed impl hash matches the present source+oracle. Editing a
+    verified entry's implementation (or its oracle template) changes the
+    hash, drops the key from this set, and rotates it back into the
+    external gate window for re-verification — a green row is evidence
+    about the code that was verified, not the name."""
+    green = _externally_verified()
+    hashes = _verified_impl_hashes()
+    if not hashes:
+        # bootstrap / fresh checkout without the hash file: fall back to
+        # name-level verification rather than forcing a full re-rotation
+        return green
+    return {
+        k for k in green
+        if k in QUERIES and hashes.get(k) == impl_hash(k)
+    }
+
+
 def load_all() -> None:
     """Import every plan module, then rotate the registry so externally-
     unverified entries come FIRST.
@@ -48,7 +100,7 @@ def load_all() -> None:
     # unverified set outgrows the window, the overflow is the newest work.
     from . import llmdata6, analytics6, llmdata7, analytics7, llmdata8, analytics8, analytics9, llmdata9  # noqa: F401
 
-    verified = _externally_verified()
+    verified = externally_verified()
     ordered = {
         k: QUERIES[k] for k in QUERIES if k not in verified
     }

@@ -22,6 +22,10 @@ class Entry:
     # from other entries' SQL, resolved only after every module has
     # registered), or None → rows-only check.
     oracle: str | Callable[[], str] | None
+    # the undecorated implementation, kept so the verified-impl hash
+    # (plans/__init__.py) can fingerprint the source that was actually
+    # externally verified
+    raw_fn: Callable | None = None
 
 
 QUERIES: dict[str, Entry] = {}
@@ -36,7 +40,7 @@ def register(name: str, oracle: str | Callable[[], str] | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = Entry(fn=wrapped, oracle=oracle)
+        QUERIES[name] = Entry(fn=wrapped, oracle=oracle, raw_fn=fn)
         return fn
 
     return deco

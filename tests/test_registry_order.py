@@ -55,6 +55,30 @@ def test_correctness_artifacts_exist():
     )
 
 
+def test_hash_verified_is_subset_of_green_and_invalidates_on_edit():
+    """externally_verified() must never exceed the artifact-green union
+    (a hash can only REVOKE verification, not grant it), and a recorded
+    hash that no longer matches the present implementation must drop the
+    key back into the unverified (window-front) set."""
+    plans.load_all()
+    green = externally_verified()
+    hash_verified = plans.externally_verified()
+    assert hash_verified <= green
+    hashes = plans._verified_impl_hashes()
+    if not hashes:  # bootstrap fallback: nothing more to pin
+        return
+    # every hash-verified key's recorded fingerprint matches its source
+    for k in sorted(hash_verified):
+        assert hashes[k] == plans.impl_hash(k)
+    # keys green in an artifact but with a stale/absent hash (edited
+    # since verification) are exactly the revoked ones
+    revoked = {
+        k for k in green
+        if k in plans.QUERIES and hashes.get(k) != plans.impl_hash(k)
+    }
+    assert revoked == green - hash_verified
+
+
 def test_unverified_entries_sit_inside_external_window():
     """When the unverified set fits in the window, all of it must be
     there. When it has outgrown the window (a round can add more than 50
@@ -65,7 +89,10 @@ def test_unverified_entries_sit_inside_external_window():
     current window's keys have green rows)."""
     plans.load_all()
     keys = list(plans.QUERIES)
-    verified = externally_verified()
+    # the rotation keys off the HASH-verified set (a green row only
+    # vouches for the source it verified): an edited-since-green entry
+    # must sit in the window too
+    verified = plans.externally_verified()
     unverified = [k for k in keys if k not in verified]
     # load_all()'s data-driven rotation must place ALL unverified keys
     # first (stable registration order within the group) — so the window
