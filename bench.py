@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -163,20 +164,25 @@ def duckdb_baseline(
     return out, errs
 
 
-def run_query(fn, spark, sf_dir) -> float:
+def run_query(fn, spark, sf_dir) -> tuple[float, float]:
     # Two warm-ups: the wide codegen plans (e.g. the 41-column staging
     # parse) JIT-compile their generated methods across the first couple
     # of executions; a single warm-up still times the interpreter/C1 tier.
-    # The timed run measures steady state — what a long-running cluster job
-    # actually sees. (The DuckDB baseline gets its warm-up too; it has no
-    # JIT ramp, so one suffices.)
+    # Then THREE timed runs, reporting the median (and min in the detail
+    # record): round-4 driver runs showed 2-7x concurrent-load variance
+    # on single timed runs (split_leakage_check 0.97 idle vs 6.98 loaded),
+    # which made per-query ratios useless as regression signals. The
+    # median of 3 is stable to one contaminated run.
     for _ in range(2):
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        walls.append(time.perf_counter() - t0)
+    return statistics.median(walls), min(walls)
 
 
 def main() -> None:
@@ -193,13 +199,18 @@ def main() -> None:
 
     names = HEADLINE + [n for n in OPTIONAL if n in qs]
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_query(qs[name], spark, sf_dir), 4)
+        med, mn = run_query(qs[name], spark, sf_dir)
+        timings[name] = round(med, 4)
+        mins[name] = round(mn, 4)
     total = round(sum(timings.values()), 4)
 
     extra: dict[str, float] = {}
     for name in (n for n in EXTRA if n in qs):
-        extra[name] = round(run_query(qs[name], spark, sf_dir), 4)
+        med, mn = run_query(qs[name], spark, sf_dir)
+        extra[name] = round(med, 4)
+        mins[name] = round(mn, 4)
 
     base, base_errs = duckdb_baseline(
         sf_dir, entry_mod.oracle_sql(), names + list(extra)
@@ -228,6 +239,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "extra_queries": extra,
+        "queries_min": mins,
+        "timing": "median of 3 after 2 warm-ups; queries_min = min of 3",
         "baseline_engine": "duckdb (oracle SQL, same parquet, all cores)",
         "baseline_queries": base,
         "baseline_total": base_total,
