@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,10 +163,121 @@ def assign_pks(
     )
 
 
+# --- live fetch seam -------------------------------------------------------
+#
+# The reference's fetch (src/sheets.py:16-70) is aiohttp + tenacity
+# @retry(stop_after_attempt(5), wait_exponential(multiplier=1, min=4,
+# max=10)) with the access token resolved INSIDE the retried function —
+# so every retry re-authenticates (db.py:132-140 mints a fresh
+# service-account token per call). This runtime has no network, so the
+# transport is injectable: the retry / backoff / auth-refresh / header-
+# shaping logic is all here and tested offline against a fake transport;
+# a deployment passes a requests/aiohttp-backed callable.
+
+SHEETS_EXPECTED_COLS = 32  # the A:AF range → 32 columns (src/sheets.py:43)
+
+
+@dataclass(frozen=True)
+class FetchPolicy:
+    """tenacity parity: stop_after_attempt(5),
+    wait_exponential(multiplier=1, min=4, max=10)."""
+
+    max_attempts: int = 5
+    backoff_multiplier: float = 1.0
+    backoff_min: float = 4.0
+    backoff_max: float = 10.0
+
+    def delay(self, retry_number: int) -> float:
+        """Seconds to wait before retry #retry_number (1-based), per
+        tenacity's wait_exponential: multiplier * 2^(n-1), clamped."""
+        raw = self.backoff_multiplier * (2 ** (retry_number - 1))
+        return max(self.backoff_min, min(self.backoff_max, raw))
+
+
+def api_values_to_records(
+    values: list[list[Any]], expected_col_count: int = SHEETS_EXPECTED_COLS
+) -> list[dict[str, Any]]:
+    """The reference's response shaping (src/sheets.py:40-53): pad the
+    header row with Column_{i+1} names up to the range width, truncate
+    extras, pad each data row with '' to the header width."""
+    if not values:
+        return []
+    raw_headers = list(values[0])
+    if len(raw_headers) < expected_col_count:
+        raw_headers += [
+            f"Column_{i + 1}"
+            for i in range(len(raw_headers), expected_col_count)
+        ]
+    elif len(raw_headers) > expected_col_count:
+        raw_headers = raw_headers[:expected_col_count]
+    return [
+        dict(zip(raw_headers, r + [""] * (len(raw_headers) - len(r))))
+        for r in values[1:]
+    ]
+
+
+def fetch_sheet_values(
+    spreadsheet_id: str,
+    range_name: str = "Sheet1!A:AF",
+    *,
+    transport: Callable[[str, dict | None, dict | None], dict],
+    token_provider: Callable[[], str | None] | None = None,
+    api_key: str | None = None,
+    policy: FetchPolicy = FetchPolicy(),
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[dict[str, Any]]:
+    """Fetch a sheet range with the reference's retry semantics.
+
+    transport(url, headers, params) → decoded JSON dict (raise on
+    transport failure). Auth resolution per attempt (src/sheets.py:17-28):
+    bearer token when token_provider yields one — called INSIDE the
+    retry loop, so each attempt gets a refreshed token — else api_key
+    param, else no-auth → [] (the reference logs and returns []).
+    A transport exception retries with exponential backoff until
+    max_attempts, then re-raises (tenacity reraise behavior); a JSON
+    body without "values" is an empty sheet, not an error."""
+    url = (
+        f"https://sheets.googleapis.com/v4/spreadsheets/"
+        f"{spreadsheet_id}/values/{range_name}"
+    )
+    for attempt in range(1, policy.max_attempts + 1):
+        headers = params = None
+        token = token_provider() if token_provider is not None else None
+        if token:
+            headers = {"Authorization": f"Bearer {token}"}
+        elif api_key:
+            params = {"key": api_key}
+        else:
+            return []
+        try:
+            data = transport(url, headers, params)
+        except Exception:
+            if attempt >= policy.max_attempts:
+                raise
+            sleep(policy.delay(attempt))
+            continue
+        return api_values_to_records(data.get("values", []))
+    return []  # unreachable: loop either returns or re-raises
+
+
+def fetch_sheet_to_raw_df(
+    spark: SparkSession,
+    spreadsheet_id: str,
+    source: str = "sheets",
+    **fetch_kwargs: Any,
+) -> DataFrame:
+    """fetch_sheet_values + records_to_raw_df: the whole reference
+    extract path (fetch → pad/shape → pk-detect → payload-hash) as one
+    call, network injected."""
+    records = fetch_sheet_values(spreadsheet_id, **fetch_kwargs)
+    return records_to_raw_df(spark, records, source)
+
+
 async def fetch_google_sheets(spreadsheet_id: str, range_name: str = "Sheet1!A:AF"):
-    """Network fetch stub (reference: src/sheets.py:16). Wire a real client
-    (google-api-python-client / aiohttp) in a deployment with network."""
+    """Network fetch stub with the reference's exact signature
+    (src/sheets.py:16). Use fetch_sheet_values with an injected
+    transport, or load_sheet_values() on an exported JSON payload."""
     raise NotImplementedError(
         "network fetch not available in this runtime; "
-        "use load_sheet_values() on an exported JSON payload"
+        "use fetch_sheet_values(transport=...) or load_sheet_values()"
     )
