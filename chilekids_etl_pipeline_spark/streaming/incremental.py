@@ -184,19 +184,44 @@ def start_upsert_sink(
     target_dir: str,
     checkpoint_dir: str,
     key_col: str = "raw_id",
+    table_format: str = "auto",
 ):
     """Continuous keyed upsert into ``target_dir`` with checkpointed
     progress — the full streaming mirror of the reference's ingest loop
     (poll → normalize → upsert), restartable at the last committed batch.
 
+    ``table_format``: "auto" uses a transactional Delta ``MERGE INTO``
+    when the jars are on the classpath (streaming/merge_delta.py) and
+    falls back to the portable parquet-swap body otherwise; "delta" or
+    "parquet" force a path (delta raises if unavailable). The swap body
+    is the stand-in, not the preferred target — on a lakehouse runtime
+    the sink is a real table.
+
     The sink identity is derived from the checkpoint path: batch ids are
     only meaningful per checkpoint, so replay detection must be keyed on
-    (checkpoint, batch) — see ``merge_upsert_batch``."""
+    (checkpoint, batch) — see ``merge_upsert_batch`` (by hand) and
+    ``merge_upsert_batch_delta`` (Delta txnAppId/txnVersion)."""
+    from .merge_delta import delta_available, merge_upsert_batch_delta
+
     sink_id = sink_id_for(checkpoint_dir)
-    return (
-        normalized.writeStream.foreachBatch(
-            merge_upsert_batch(target_dir, key_col, sink_id=sink_id)
+    use_delta = table_format == "delta" or (
+        table_format == "auto"
+        and delta_available(normalized.sparkSession)
+    )
+    if table_format == "delta" and not delta_available(
+        normalized.sparkSession
+    ):
+        raise RuntimeError(
+            "table_format='delta' but the Delta jars are not on the "
+            "classpath; use 'auto' or 'parquet'"
         )
+    body = (
+        merge_upsert_batch_delta(target_dir, key_col, sink_id=sink_id)
+        if use_delta
+        else merge_upsert_batch(target_dir, key_col, sink_id=sink_id)
+    )
+    return (
+        normalized.writeStream.foreachBatch(body)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -1,0 +1,111 @@
+"""Transactional MERGE upsert target (Delta Lake), jar-gated.
+
+The reference's durable keyed table is Postgres ``INSERT … ON CONFLICT
+(raw_id) DO UPDATE`` (src/transform.py:240-346, src/db.py:74-90). On a
+lakehouse runtime the equivalent is ``MERGE INTO`` a Delta (or Iceberg)
+table — transactional, concurrent-reader-safe, and a real table a BI
+tool can point at. This module is that path: when the Delta jars are on
+the classpath the foreachBatch body is a genuine ``MERGE INTO`` with
+last-write-wins semantics and (appId, batchId) idempotent replay
+protection (Delta's txnAppId/txnVersion); without the jars,
+``streaming.incremental.merge_upsert_batch`` remains the portable
+parquet-swap stand-in and ``start_upsert_sink`` dispatches automatically.
+
+The two bodies implement the SAME contract (tested against each other's
+scenario suite where the runtime allows): per-key last-write-wins within
+a batch via ``order_cols`` descending, newer batches win across batches,
+replayed batches are no-ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake jars are on the session's classpath.
+
+    Checks the JVM directly (``io.delta.tables.DeltaTable``) rather than
+    importing the delta-spark Python package — SQL ``MERGE INTO delta.``
+    needs only the jars + catalyst extension, not the Python bindings.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "io.delta.tables.DeltaTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _dedup_batch(
+    batch: DataFrame, key_col: str, order_cols: tuple[str, ...]
+) -> DataFrame:
+    """Within-batch winner per key (the shuffle MERGE performs anyway):
+    MERGE forbids multiple source matches per target row, so the batch
+    must reduce to one row per key first."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert_batch_delta(
+    target_path: str,
+    key_col: str = "raw_id",
+    order_cols: tuple[str, ...] = ("received_at", "payload_hash"),
+    sink_id: str = "default",
+):
+    """foreachBatch body: ``MERGE INTO delta.`target` `` — the
+    transactional form of the parquet-swap upsert, with replay
+    protection delegated to Delta's idempotent-write metadata:
+    ``txnAppId`` = sink identity (derived from the checkpoint path by
+    ``start_upsert_sink``), ``txnVersion`` = batch id. A replayed batch
+    (same app id, same version) is skipped by Delta itself — the same
+    (sink_id, batch_id) keying the swap path implements by hand."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        deduped = _dedup_batch(batch, key_col, order_cols)
+        # idempotent-writes metadata: scoped to this transaction via
+        # session confs (the documented path for SQL-driven writes)
+        spark.conf.set("spark.databricks.delta.write.txnAppId", sink_id)
+        spark.conf.set(
+            "spark.databricks.delta.write.txnVersion", str(int(batch_id))
+        )
+        try:
+            import os
+
+            if not (
+                os.path.exists(target_path)
+                and os.path.exists(os.path.join(target_path, "_delta_log"))
+            ):
+                deduped.write.format("delta").mode("overwrite").save(
+                    target_path
+                )
+                return
+            deduped.createOrReplaceTempView("_merge_updates")
+            set_cols = ", ".join(
+                f"t.{c} = s.{c}" for c in deduped.columns if c != key_col
+            )
+            spark.sql(
+                f"""
+                MERGE INTO delta.`{target_path}` t
+                USING _merge_updates s
+                ON t.{key_col} = s.{key_col}
+                WHEN MATCHED THEN UPDATE SET {set_cols}
+                WHEN NOT MATCHED THEN INSERT *
+                """
+            )
+        finally:
+            spark.conf.unset("spark.databricks.delta.write.txnAppId")
+            spark.conf.unset("spark.databricks.delta.write.txnVersion")
+
+    return _merge
