@@ -19,23 +19,54 @@ from .registry import register
 # --- 13. Q1-style pricing summary (scan-heavy groupBy, no join)
 
 
+# Precision discipline (found by the sf1 sweep): with every factor at
+# decimal(18,2) the triple product price*(1-disc)*(1+tax) needs
+# precision > 38, and engines disagree on precision-loss behavior
+# (Spark truncates scale, DuckDB re-plans) — the sums visibly diverge
+# once they reach ~5e10. Narrow casts keep every intermediate INSIDE
+# 38 digits so both engines compute the same exact decimal:
+# (15,2) x (5,3) -> (21,5); x (5,3) -> (27,8); sums -> (38,8). Exact.
+#
+# Second sf1 finding: even on IDENTICAL exact decimal sums, a direct
+# decimal->double cast differs by 1 ulp between engines once the
+# unscaled value passes 2^53 (DuckDB divides a float-converted int128
+# by 10^scale — two roundings; the JVM rounds once). The portable cast
+# splits integer and fractional parts, each small enough to convert
+# with one well-defined IEEE rounding: floor(x) is exact in both, the
+# fraction's unscaled value < 10^scale converts exactly then divides
+# once, and the final add is a single IEEE operation.
+def _dec2double(x: str) -> str:
+    """Portable exact-decimal -> double cast (see note above)."""
+    return f"(cast(floor({x}) AS double) + cast({x} - floor({x}) AS double))"
+
+
+_Q1_DISC_SUM = ("sum(cast(l_extendedprice AS decimal(15,2)) "
+                "* (1 - cast(l_discount AS decimal(5,3))))")
+_Q1_CHARGE_SUM = ("sum(cast(l_extendedprice AS decimal(15,2)) "
+                  "* (1 - cast(l_discount AS decimal(5,3))) "
+                  "* (1 + cast(l_tax AS decimal(5,3))))")
+
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
-       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
-       cast(sum(cast(l_extendedprice AS decimal(18,2))
-                * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
-       cast(sum(cast(l_extendedprice AS decimal(18,2))
-                * (1 - cast(l_discount AS decimal(18,2)))
-                * (1 + cast(l_tax AS decimal(18,2)))) AS double) AS sum_charge,
-       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*) AS avg_qty,
-       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS avg_price,
-       cast(sum(cast(l_discount AS decimal(18,2))) AS double) / count(*) AS avg_disc,
+       cast(sum(cast(l_quantity AS decimal(15,2))) AS double) AS sum_qty,
+       cast(sum(cast(l_extendedprice AS decimal(15,2))) AS double) AS sum_base_price,
+       {_dp2} AS sum_disc_price,
+       {_sc2} AS sum_charge,
+       cast(sum(cast(l_quantity AS decimal(15,2))) AS double) / count(*) AS avg_qty,
+       cast(sum(cast(l_extendedprice AS decimal(15,2))) AS double) / count(*) AS avg_price,
+       cast(sum(cast(l_discount AS decimal(5,3))) AS double) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
 GROUP BY l_returnflag, l_linestatus
-"""
+""".replace("{_dp2}", _dec2double(_Q1_DISC_SUM)).replace(
+    "{_sc2}", _dec2double(_Q1_CHARGE_SUM)
+)
+
+
+def _dec2double_col(c):
+    """Column form of _dec2double: ulp-stable decimal->double."""
+    return F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
 
 
 @register("q1_pricing_summary", oracle=_Q1_ORACLE)
@@ -52,16 +83,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    tax = F.col("l_tax").cast("decimal(18,2)")
+    # narrow decimals keep the triple product inside precision 38 —
+    # see the note on _Q1_ORACLE (sf1-sweep finding)
+    qty = F.col("l_quantity").cast("decimal(15,2)")
+    price = F.col("l_extendedprice").cast("decimal(15,2)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    tax = F.col("l_tax").cast("decimal(5,3)")
     cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).cast("double").alias("sum_qty"),
         F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
-        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        _dec2double_col(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+        _dec2double_col(
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        ).alias("sum_charge"),
         (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
         (F.sum(price).cast("double") / cnt).alias("avg_price"),
         (F.sum(disc).cast("double") / cnt).alias("avg_disc"),

@@ -38,15 +38,23 @@ WITH stamped AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 held AS (
-    SELECT user_id, value,
-           t_next_us - t_us AS hold_us
+    -- value fixed to decimal(18,6) so BOTH averages below are sums of
+    -- exact decimals: a plain double avg() diverged between engines at
+    -- the 6th decimal once groups hit sf1 size (order-dependent
+    -- summation), and value*hold_us as double carries the same risk.
+    -- (19,6) x hold_us(14,0) -> (33,6): inside precision 38, exact in
+    -- both engines; precision 19 (not 18) forces DuckDB onto int128
+    -- arithmetic — at p<=18 it multiplies in int64 and overflows.
+    SELECT user_id, cast(value AS decimal(19,6)) AS value_dec,
+           cast(t_next_us - t_us AS decimal(14,0)) AS hold_us
     FROM stamped WHERE t_next_us IS NOT NULL
 )
 SELECT user_id,
        cast(count(*) AS bigint) AS n_intervals,
-       cast(sum(hold_us) AS bigint) AS span_us,
-       round(sum(value * hold_us) / sum(hold_us), 6) AS twap,
-       round(avg(value), 6) AS plain_avg
+       cast(sum(cast(hold_us AS bigint)) AS bigint) AS span_us,
+       round(cast(sum(value_dec * hold_us) AS double)
+             / cast(sum(cast(hold_us AS bigint)) AS double), 6) AS twap,
+       round(cast(sum(value_dec) AS double) / count(*), 6) AS plain_avg
 FROM held GROUP BY user_id
 """
 

@@ -1,0 +1,138 @@
+"""Deterministic 10x scale-up of the driver testdata for sweep testing.
+
+The per-round correctness gate runs at sf0.01 and the committed sweep at
+sf0.1; history shows each 10x step surfaces real cross-engine traps
+(round-2: round() ties; round-4: decimal literal precision). This tool
+builds an sf1-equivalent dataset from sf0.1 WITHOUT touching the
+read-only /root/testdata: each fact table is replicated k times with
+key offsets, so referential integrity holds within every replica.
+
+Fidelity rules:
+- offsets are multiples of lcm(1..9, 10, 63)·large so key mod-classes
+  (o_orderkey % 7, event_id % 10, bloom's % 63 words...) keep their
+  distribution;
+- document text gets a per-replica suffix token (and n_chars adjusts)
+  so the exact/near-dup structure is replicated, not multiplied —
+  10 identical corpora would quadratically inflate every pair query;
+- embeddings perturb their first component per replica for the same
+  reason (cosine structure preserved, exact-duplicate vectors not);
+- dims (region, nation) copy as-is; timestamps are untouched so
+  calendar-bounded aggregates stay calendar-bounded.
+
+The output is for the Spark-vs-DuckDB sweep only (both engines read the
+SAME parquet, so any deterministic data is a valid comparator); it is
+not committed.
+
+Usage: python tools/make_scale_data.py [--src sf_dir] [--out dir] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+# lcm(2520, 63, 10) = 2520; scale it up so offsets dwarf every key range
+MOD_BASE = 2520 * 63  # 158760; divisible by 1..9, 10, 63
+
+
+def stride_for(max_key: int) -> int:
+    return ((max_key // MOD_BASE) + 1) * MOD_BASE
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/root/repo/.scaledata/sf1")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+
+    def src(t: str) -> str:
+        return f"'{args.src}/{t}.parquet'"
+
+    def emit(t: str, sql: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{args.out}/{t}.parquet'"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    # dims unchanged
+    for t in ("region", "nation"):
+        emit(t, f"SELECT * FROM {src(t)}")
+
+    def max_key(t: str, col: str) -> int:
+        return con.execute(
+            f"SELECT max({col}) FROM {src(t)}"
+        ).fetchone()[0]
+
+    k = args.k
+    s_cust = stride_for(max_key("customer", "c_custkey"))
+    s_supp = stride_for(max_key("supplier", "s_suppkey"))
+    s_part = stride_for(max_key("part", "p_partkey"))
+    s_ord = stride_for(max_key("orders", "o_orderkey"))
+    s_ev = stride_for(max_key("events", "event_id"))
+    s_user = stride_for(
+        con.execute(f"SELECT max(user_id) FROM {src('events')}").fetchone()[0]
+    )
+    s_doc = stride_for(max_key("documents", "doc_id"))
+    s_vec = stride_for(max_key("embeddings", "vec_id"))
+
+    rep = f"(SELECT unnest(range(0, {k})) AS i)"
+
+    emit("customer", f"""
+        SELECT c_custkey + i * {s_cust} AS c_custkey,
+               c_name || CASE WHEN i = 0 THEN '' ELSE '#' || i END AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM {src('customer')} CROSS JOIN {rep}""")
+    emit("supplier", f"""
+        SELECT s_suppkey + i * {s_supp} AS s_suppkey,
+               s_name || CASE WHEN i = 0 THEN '' ELSE '#' || i END AS s_name,
+               s_nationkey, s_acctbal
+        FROM {src('supplier')} CROSS JOIN {rep}""")
+    emit("part", f"""
+        SELECT p_partkey + i * {s_part} AS p_partkey,
+               p_name, p_brand, p_type, p_size, p_retailprice
+        FROM {src('part')} CROSS JOIN {rep}""")
+    emit("orders", f"""
+        SELECT o_orderkey + i * {s_ord} AS o_orderkey,
+               o_custkey + i * {s_cust} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM {src('orders')} CROSS JOIN {rep}""")
+    emit("lineitem", f"""
+        SELECT l_orderkey + i * {s_ord} AS l_orderkey,
+               l_partkey + i * {s_part} AS l_partkey,
+               l_suppkey + i * {s_supp} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM {src('lineitem')} CROSS JOIN {rep}""")
+    emit("events", f"""
+        SELECT event_id + i * {s_ev} AS event_id, ts,
+               user_id + i * {s_user} AS user_id,
+               event_type, value, props
+        FROM {src('events')} CROSS JOIN {rep}""")
+    emit("documents", f"""
+        SELECT doc_id + i * {s_doc} AS doc_id,
+               text || CASE WHEN i = 0 THEN ''
+                            ELSE ' zrep' || i END AS text,
+               lang, source,
+               n_chars + CASE WHEN i = 0 THEN 0
+                              ELSE length(' zrep' || i) END AS n_chars
+        FROM {src('documents')} CROSS JOIN {rep}""")
+    emit("embeddings", f"""
+        SELECT vec_id + i * {s_vec} AS vec_id,
+               CASE WHEN i = 0 THEN embedding
+                    ELSE [embedding[1] + cast(i AS float) * 0.001]
+                         || embedding[2:] END AS embedding,
+               label
+        FROM {src('embeddings')} CROSS JOIN {rep}""")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
