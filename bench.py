@@ -123,6 +123,16 @@ EXTRA = [
     "dpo_pair_construction",
     "tokenizer_vocab_coverage",
     "bloom_prune_semijoin",
+    # round-5 batch (lakehouse + eval/curation)
+    "zorder_layout",
+    "small_file_compaction_plan",
+    "merkle_partition_checksum",
+    "range_partition_planner",
+    "ndv_profile_error",
+    "pass_at_k_eval",
+    "safety_keyword_screen",
+    "lateness_watermark_profile",
+    "matryoshka_dim_fidelity",
 ]
 
 

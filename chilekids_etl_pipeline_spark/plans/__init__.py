@@ -100,6 +100,10 @@ def load_all() -> None:
     # unverified set outgrows the window, the overflow is the newest work.
     from . import llmdata6, analytics6, llmdata7, analytics7, llmdata8, analytics8, analytics9, llmdata9  # noqa: F401
 
+    # Round-5 batch — registers after every older unverified key so the
+    # gate window drains oldest-first.
+    from . import lakehouse, llmdata10  # noqa: F401
+
     verified = externally_verified()
     ordered = {
         k: QUERIES[k] for k in QUERIES if k not in verified

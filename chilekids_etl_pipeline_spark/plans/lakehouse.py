@@ -1,0 +1,370 @@
+"""Lakehouse operations batch (round 5): the table-maintenance and
+layout-planning queries a 100 TB warehouse runs about its OWN storage —
+Z-order layout evaluation, small-file compaction planning, Merkle-style
+partition checksums for replication verification, range-partition
+boundary planning, and a per-column NDV profile with sketch error.
+
+These are deliberately data-about-data: at scale the inputs are file
+and partition METADATA (transaction-log footers, parquet statistics),
+which is already tiny relative to the data — every query here reduces
+fact-scale input to metadata-scale state in one pass and then reasons
+over that. Dual-dialect SQL templates as elsewhere; all comparisons are
+exact integers or single-division doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.sketch import (
+    HLL_M,
+    HLL_POW,
+    hll_bucket_sql,
+    hll_estimate_from_fp_sql,
+    hll_hash_sql,
+    hll_rho_sql,
+    hll_shifted_sql,
+    hll_w_sql,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Z-order layout evaluation
+
+_Z_BITS = 8  # two 8-bit dimensions -> 16-bit z-value, 256 files
+
+
+def _zorder_sql(dialect: str) -> str:
+    shr = (
+        (lambda x, b: f"shiftright({x}, {b})")
+        if dialect == "spark"
+        else (lambda x, b: f"({x} >> {b})")
+    )
+    shl = (
+        (lambda x, b: f"shiftleft({x}, {b})")
+        if dialect == "spark"
+        else (lambda x, b: f"({x} << {b})")
+    )
+    days = (
+        "datediff(o_orderdate, cast('1992-01-01' AS date))"
+        if dialect == "spark"
+        else "datediff('day', cast('1992-01-01' AS date), o_orderdate)"
+    )
+    # bit-interleave x (even positions) and y (odd positions)
+    def interleave(col: str, offset: int, b: int) -> str:
+        bit = "(" + shr(col, b) + " & 1)"
+        return shl(bit, 2 * b + offset)
+
+    z_terms = " + ".join(
+        interleave("x", 0, b) + " + " + interleave("y", 1, b)
+        for b in range(_Z_BITS)
+    )
+    return f"""
+WITH binned AS (
+    SELECT cast(o_custkey % 256 AS int) AS x,
+           cast(({days}) % 256 AS int) AS y
+    FROM orders
+),
+zvals AS (SELECT x, y, {z_terms} AS z FROM binned),
+-- three physical layouts, each splitting the table into 256 "files":
+-- sorted-by-custkey (file = custkey bin), sorted-by-date, and z-order
+-- (file = leading z bits). File assignment is a bit-prefix bucket, NOT
+-- a global sort — at real scale the writer range-partitions on the
+-- same prefix.
+files AS (
+    SELECT 'by_custkey' AS layout, x AS f, x, y FROM zvals
+    UNION ALL
+    SELECT 'by_date' AS layout, y AS f, x, y FROM zvals
+    UNION ALL
+    SELECT 'zorder' AS layout, {"shiftright(z, 8)" if dialect == "spark" else "(z >> 8)"} AS f, x, y FROM zvals
+),
+-- the parquet footer statistics a scan planner would consult
+per_file AS (
+    SELECT layout, f,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y,
+           cast(count(*) AS bigint) AS n_rows
+    FROM files GROUP BY layout, f
+)
+SELECT layout,
+       cast(count(*) AS bigint) AS n_files,
+       cast(sum(CASE WHEN min_x <= 42 AND max_x >= 42
+                     THEN 1 ELSE 0 END) AS bigint) AS files_hit_custkey_probe,
+       cast(sum(CASE WHEN min_y <= 99 AND max_y >= 99
+                     THEN 1 ELSE 0 END) AS bigint) AS files_hit_date_probe,
+       cast(max(n_rows) AS bigint) AS max_file_rows
+FROM per_file GROUP BY layout
+"""
+
+
+@register("zorder_layout", oracle=_zorder_sql("duckdb"))
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout evaluation: the table is laid out
+    three ways — sorted by customer, sorted by date, and by interleaved
+    bits of both — and for each layout the per-file min/max statistics
+    (what a parquet footer stores) answer how many files a
+    single-dimension probe must scan. The point the numbers make:
+    a lexical sort prunes perfectly on its leading column and not at
+    all on the other (1 vs 256 files), while z-order prunes BOTH
+    dimensions to ~sqrt(files) — why Delta/Iceberg OPTIMIZE ZORDER
+    exists. File assignment is a z-prefix bucket (no global sort), the
+    min/max reduction is one metadata-scale pass, and the same plan at
+    100 TB reads footer stats instead of rows. Probe values (42, 99)
+    are arbitrary in-domain constants."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_zorder_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning
+
+_COMPACT_DOCS_PER_FILE = 50
+_COMPACT_TARGET_BYTES = 40_000
+
+
+def _compaction_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH input_files AS (
+    -- stand-in for the table's file listing: ingest order groups docs
+    -- into many small files per source (the streaming-sink pattern
+    -- that motivates compaction)
+    SELECT source, doc_id {idiv} {_COMPACT_DOCS_PER_FILE} AS file_id,
+           cast(sum(n_chars) AS bigint) AS bytes,
+           cast(count(*) AS bigint) AS n_docs
+    FROM documents GROUP BY source, doc_id {idiv} {_COMPACT_DOCS_PER_FILE}
+),
+placed AS (
+    -- greedy sequential packing: a file starts a new output bin when
+    -- the bytes before it cross a target boundary. One prefix-sum
+    -- window PARTITIONED BY source — never a global sort.
+    SELECT source, file_id, bytes, n_docs,
+           cast((sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - bytes) {idiv} {_COMPACT_TARGET_BYTES} AS bigint)
+               AS out_file
+    FROM input_files
+)
+SELECT source, out_file,
+       cast(count(*) AS bigint) AS n_input_files,
+       cast(sum(n_docs) AS bigint) AS n_docs,
+       cast(sum(bytes) AS bigint) AS out_bytes,
+       cast(min(file_id) AS bigint) AS first_input,
+       cast(max(file_id) AS bigint) AS last_input,
+       sum(bytes) / cast({_COMPACT_TARGET_BYTES} AS double) AS fill_ratio
+FROM placed
+GROUP BY source, out_file
+"""
+
+
+@register("small_file_compaction_plan", oracle=_compaction_sql("duckdb"))
+def small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE/rewrite-data-files
+    read side): many ingest-order small files per source are packed
+    into target-size output files by a greedy prefix-sum rule, emitting
+    per output file its input range, byte total and fill ratio. The
+    input here is a derived file listing; on a real table it is the
+    transaction log — metadata-scale either way. Packing preserves
+    ingest order within a source (rewrites stay cluster-local and
+    time-clustered), and the only window runs per source over the file
+    LISTING, not the data."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_compaction_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style partition checksums
+
+def _merkle_sql(dialect: str) -> str:
+    s = "string" if dialect == "spark" else "varchar"
+    us = "unix_micros(o_orderdate)" if dialect == "spark" else "epoch_us(o_orderdate)"
+    hex15 = (
+        "cast(conv(substr(md5(canon), 1, 15), 16, 10) AS bigint)"
+        if dialect == "spark"
+        else "cast(('0x' || substr(md5(canon), 1, 15)) AS bigint)"
+    )
+    return f"""
+WITH canonical AS (
+    -- deterministic per-row canonical string: ints as-is, money as
+    -- fixed decimal text, timestamps as integer microseconds (raw
+    -- double/timestamp casts to string are not engine-portable)
+    SELECT date_trunc('month', o_orderdate) AS part,
+           concat(cast(o_orderkey AS {s}), '|',
+                  cast(o_custkey AS {s}), '|',
+                  o_orderstatus, '|',
+                  cast(cast(o_totalprice AS decimal(15,2)) AS {s}), '|',
+                  cast({us} AS {s}), '|',
+                  o_orderpriority) AS canon
+    FROM orders
+),
+hashed AS (SELECT part, {hex15} AS h FROM canonical),
+-- XOR-fold per partition: order-independent and mergeable, so any
+-- replica/engine can recompute its shard's digest independently and
+-- compare leaf-by-leaf, then fold leaves into the root
+leaves AS (
+    SELECT cast(cast(part AS date) AS {s}) AS part,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(bit_xor(h) AS bigint) AS checksum
+    FROM hashed GROUP BY part
+)
+SELECT part, n_rows, checksum FROM leaves
+UNION ALL
+SELECT 'ROOT' AS part, cast(sum(n_rows) AS bigint) AS n_rows,
+       cast(bit_xor(checksum) AS bigint) AS checksum
+FROM leaves
+"""
+
+
+@register("merkle_partition_checksum", oracle=_merkle_sql("duckdb"))
+def merkle_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-verification checksums: every row reduces to a
+    64-bit digest of a canonical string (typed fields rendered
+    engine-portably), partitions XOR-fold their digests into leaf
+    checksums, and the leaves fold into a root — a two-level Merkle
+    tree over the table. XOR is commutative/associative/idempotent-free,
+    so the leaf digest is ORDER-INDEPENDENT and mergeable: two sites
+    compare roots, then walk differing leaves only — the O(log)
+    divergence search that makes verifying a 100 TB replica tractable.
+    Row count rides along per leaf because XOR alone cannot see a row
+    duplicated an even number of times."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_merkle_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# range-partition boundary planning
+
+_RANGE_BUCKETS = 16
+
+
+def _range_plan_sql(dialect: str) -> str:
+    fr = ", ".join(
+        f"cast({i} AS double) / {_RANGE_BUCKETS}"
+        for i in range(1, _RANGE_BUCKETS)
+    )
+    if dialect == "spark":
+        q = f"percentile(v, array({fr}))"
+        nbelow = "cast(size(filter(qs, q -> q <= v)) AS int)"
+    else:
+        q = f"quantile_cont(v, [{fr}])"
+        nbelow = "cast(len(list_filter(qs, q -> q <= v)) AS int)"
+    return f"""
+WITH vals AS (SELECT o_totalprice AS v FROM orders),
+th AS (
+    SELECT {q} AS qs, min(v) AS mn, max(v) AS mx
+    FROM vals
+),
+assigned AS (
+    SELECT 'quantile_boundaries' AS method, {nbelow} AS bucket
+    FROM vals CROSS JOIN th
+    UNION ALL
+    SELECT 'equal_width' AS method,
+           least({_RANGE_BUCKETS} - 1,
+                 cast(floor((v - mn) / ((mx - mn)
+                      / cast({_RANGE_BUCKETS} AS double))) AS int)) AS bucket
+    FROM vals CROSS JOIN th
+),
+counts AS (
+    SELECT method, bucket, cast(count(*) AS bigint) AS n
+    FROM assigned GROUP BY method, bucket
+)
+SELECT method,
+       cast(count(*) AS bigint) AS n_buckets,
+       cast(max(n) AS bigint) AS max_rows,
+       cast(min(n) AS bigint) AS min_rows,
+       max(n) * cast({_RANGE_BUCKETS} AS double) / sum(n) AS skew_factor
+FROM counts GROUP BY method
+"""
+
+
+@register("range_partition_planner", oracle=_range_plan_sql("duckdb"))
+def range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planning — what RangePartitioner (and
+    every sort-based writer) must get right: boundaries at the key's
+    quantiles yield near-uniform partitions (skew factor ~1) while
+    equal-width boundaries inherit the value distribution's skew. The
+    quantile row is a 1-row broadcast (the length_curriculum_buckets
+    pattern — no ntile over the corpus); each row scores against the
+    threshold array in one map; the verdict is two summary rows. At
+    scale the quantiles come from a sample or the mergeable histogram
+    sketch (histogram_quantile) — the planning logic is identical."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_range_plan_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# per-column NDV profile with sketch error
+
+def _ndv_sql(dialect: str) -> str:
+    s = "string" if dialect == "spark" else "varchar"
+    cols = [
+        ("o_custkey", f"cast(o_custkey AS {s})"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_orderdate", f"cast(cast(o_orderdate AS date) AS {s})"),
+    ]
+    unpivot = "\n    UNION ALL\n".join(
+        f"    SELECT '{name}' AS col, {expr} AS v FROM orders"
+        for name, expr in cols
+    )
+    return f"""
+WITH unpivoted AS (
+{unpivot}
+),
+hashed AS (
+    SELECT col, {hll_hash_sql(dialect, 'v')} AS h FROM unpivoted
+),
+parts AS (
+    SELECT col, {hll_bucket_sql(dialect)} AS bucket,
+           {hll_w_sql(dialect)} AS w
+    FROM hashed
+),
+regs AS (
+    SELECT col, bucket, max({hll_rho_sql()}) AS r
+    FROM parts GROUP BY col, bucket
+),
+sums AS (
+    SELECT col,
+           cast(count(*) AS bigint) AS n_present,
+           cast(sum({hll_shifted_sql(dialect, 'r')}) AS bigint) AS present_sum
+    FROM regs GROUP BY col
+),
+est AS (
+    SELECT col, n_present,
+           present_sum + ({HLL_M} - n_present) * cast({HLL_POW} AS bigint)
+               AS harmonic_fp,
+           {HLL_M} - n_present AS zeros
+    FROM sums
+),
+sketch AS (
+    SELECT col, {hll_estimate_from_fp_sql('harmonic_fp', 'zeros')}
+               AS ndv_estimate
+    FROM est
+),
+exact AS (
+    SELECT col, cast(count(DISTINCT v) AS bigint) AS ndv_exact
+    FROM unpivoted GROUP BY col
+)
+SELECT e.col, e.ndv_exact,
+       round(s.ndv_estimate, 2) AS ndv_estimate,
+       round(abs(s.ndv_estimate - e.ndv_exact)
+             / cast(e.ndv_exact AS double), 4) AS rel_error
+FROM exact e JOIN sketch s ON s.col = e.col
+"""
+
+
+@register("ndv_profile_error", oracle=_ndv_sql("duckdb"))
+def ndv_profile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct-count profile: exact NDV beside the portable
+    HLL estimate (shared register construction from functions/sketch.py)
+    with measured relative error — the cardinality statistics a
+    cost-based optimizer and a data catalog both need, where the exact
+    side is the audit and the sketch is what actually ships at 100 TB
+    (one pass, 256 mergeable registers per column instead of a
+    per-column distinct shuffle). Columns span the cardinality range:
+    keys (high), statuses (3), priorities (5), dates (~2.4k)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ndv_sql("spark"))

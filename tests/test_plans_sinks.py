@@ -333,6 +333,14 @@ BNLJ_ALLOWED = {
     # cross-joined into the probe map — the broadcast-sketch pattern is
     # the query's entire point; both BNLJ sides are 1-row scalars
     "bloom_prune_semijoin",
+    # round-5 batch: 1-row/constant-size broadcast cross joins — the
+    # quantile-threshold row (range planner), the 3-row k list and the
+    # 4-row watermark list (pass@k, lateness), and matryoshka's bounded
+    # hash-sampled probe set against the corpus scan (the knn pattern)
+    "range_partition_planner",
+    "pass_at_k_eval",
+    "lateness_watermark_profile",
+    "matryoshka_dim_fidelity",
     # round-4 batch 5: rolling HLL's calendar-bounded day-grid range
     # join (30 x 7 x 256 rows), triangle stats' 1-row wedge x tri
     # scalar join, PMI's 1-row totals broadcast

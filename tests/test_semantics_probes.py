@@ -603,3 +603,120 @@ def test_reshard_theory(con):
     # theory: mod moves ~8/9 of keys, rendezvous ~1/9
     assert abs(r.moved_mod_frac - 8 / 9) < 0.05
     assert abs(r.moved_hrw_frac - 1 / 9) < 0.05
+
+
+# --- round-5 batch: lakehouse + eval/curation operators ---------------------
+
+
+def test_zorder_prunes_both_dims_lexical_prunes_one(con):
+    d = con.execute(_oracle("zorder_layout")).fetchdf().set_index("layout")
+    # lexical layouts prune their own dimension perfectly and the other
+    # not at all; z-order prunes both to ~sqrt(n_files)
+    assert d.loc["by_custkey"].files_hit_custkey_probe == 1
+    assert (d.loc["by_custkey"].files_hit_date_probe
+            >= d.loc["by_custkey"].n_files * 0.5)
+    assert d.loc["by_date"].files_hit_date_probe == 1
+    z = d.loc["zorder"]
+    assert 1 <= z.files_hit_custkey_probe < z.n_files / 3
+    assert 1 <= z.files_hit_date_probe < z.n_files / 3
+
+
+def test_compaction_bins_fill_near_target(con):
+    d = con.execute(_oracle("small_file_compaction_plan")).fetchdf()
+    # every output file except possibly a source's last must reach the
+    # target (greedy packing leaves no mid-stream underfull bins)
+    last = d.groupby("source").out_file.transform("max")
+    full = d[d.out_file != last]
+    if len(full):
+        assert (full.fill_ratio >= 1.0).all()
+    # input ranges within a source must not overlap (order preserved)
+    for _, g in d.groupby("source"):
+        g = g.sort_values("out_file")
+        assert (g.first_input.values[1:] > g.last_input.values[:-1]).all()
+
+
+def test_merkle_root_folds_leaves(con):
+    d = con.execute(_oracle("merkle_partition_checksum")).fetchdf()
+    root = d[d.part == "ROOT"]
+    leaves = d[d.part != "ROOT"]
+    assert len(root) == 1
+    assert int(root.n_rows.iloc[0]) == int(leaves.n_rows.sum())
+    import functools
+
+    folded = functools.reduce(lambda a, b: a ^ b, leaves.checksum.astype(int))
+    assert int(root.checksum.iloc[0]) == folded
+    # a checksum actually depends on content: leaves are not all equal
+    assert leaves.checksum.nunique() > 1
+
+
+def test_range_planner_quantiles_beat_equal_width(con):
+    d = con.execute(_oracle("range_partition_planner")).fetchdf().set_index(
+        "method"
+    )
+    q, e = d.loc["quantile_boundaries"], d.loc["equal_width"]
+    assert q.skew_factor <= e.skew_factor
+    assert q.skew_factor < 1.05  # quantile boundaries ~uniform
+    assert q.n_buckets == 16
+
+
+def test_ndv_profile_low_cardinality_near_exact(con):
+    d = con.execute(_oracle("ndv_profile_error")).fetchdf().set_index("col")
+    # linear counting makes tiny cardinalities near-exact; the sketch
+    # stays within its ~6.5% design error at m=256 for the larger ones
+    assert d.loc["o_orderstatus"].rel_error < 0.05
+    assert d.loc["o_orderpriority"].rel_error < 0.05
+    assert (d.rel_error < 0.15).all()
+
+
+def test_pass_at_k_monotone_and_anchored(con):
+    d = con.execute(_oracle("pass_at_k_eval")).fetchdf().set_index("k")
+    # pass@k is monotone nondecreasing in k, and pass@1 equals the raw
+    # per-problem success fraction (the estimator reduces to c/n at k=1)
+    assert d.loc[1].mean_pass_at_k <= d.loc[5].mean_pass_at_k <= d.loc[10].mean_pass_at_k
+    raw = con.execute(
+        "SELECT sum(CASE WHEN substr(md5(cast(doc_id AS varchar)), 1, 1) "
+        "IN ('0','1','2','3') THEN 1 ELSE 0 END) "
+        "/ cast(count(*) AS double) FROM documents"
+    ).fetchone()[0]
+    assert abs(d.loc[1].mean_pass_at_k - raw) < 2e-6  # ppm flooring
+
+
+def test_keyword_screen_counts_whole_words_only(con):
+    sql = _oracle("safety_keyword_screen")
+    d = con.execute(sql).fetchdf()
+    assert d.n_flagged.sum() > 0  # the blocklist terms exist in-corpus
+    # whole-word semantics: a corpus where the term appears only as a
+    # substring must produce zero hits
+    c2 = duckdb.connect()
+    c2.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, "
+        "'slowly crashing leaky faucet' AS text, 'src0' AS source"
+    )
+    d2 = c2.execute(sql).fetchdf()
+    assert int(d2.total_hits.sum()) == 0
+
+
+def test_lateness_drop_rate_decreases_with_watermark(con):
+    d = (
+        con.execute(_oracle("lateness_watermark_profile"))
+        .fetchdf()
+        .sort_values("watermark_min")
+    )
+    assert (d.drop_rate.diff().dropna() < 0).all()
+    assert d.p50_delay_min.iloc[0] <= d.p95_delay_min.iloc[0] <= d.p99_delay_min.iloc[0]
+
+
+def test_matryoshka_fidelity_improves_with_dim(con):
+    d = (
+        con.execute(_oracle("matryoshka_dim_fidelity"))
+        .fetchdf()
+        .sort_values("dim")
+    )
+    # full dimension must agree with itself perfectly, with zero regret
+    full = d[d.dim == 64].iloc[0]
+    assert full.top1_agreement_rate == 1.0
+    assert full.regret_sum_micro == 0
+    # regret is nonnegative (the true top-1 maximizes full cosine) and
+    # the shortest prefix pays at least as much as the longest
+    assert (d.regret_sum_micro >= 0).all()
+    assert d[d.dim == 8].regret_sum_micro.iloc[0] >= d[d.dim == 32].regret_sum_micro.iloc[0]
