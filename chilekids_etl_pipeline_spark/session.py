@@ -64,6 +64,15 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus if cpus != "*" else "32")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The oracle-compare harness collects full results driver-side
+        # (toPandas); at the sf1 sweep scale the widest result
+        # (staging_records: ~600k x 41 parsed columns) overflows the 1g
+        # default. Queries themselves never collect — this only sizes
+        # the verification path.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Wide ELT projections (40+ staging columns of parse trees) overflow
         # whole-stage codegen's single generated method — janino fails and
