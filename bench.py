@@ -133,6 +133,7 @@ EXTRA = [
     "safety_keyword_screen",
     "lateness_watermark_profile",
     "matryoshka_dim_fidelity",
+    "join_size_cms_estimate",
 ]
 
 

@@ -368,3 +368,68 @@ def ndv_profile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (high), statuses (3), priorities (5), dates (~2.4k)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ndv_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation from CMS inner products
+
+def _join_size_sql(dialect: str) -> str:
+    from ..functions.sketch import CMS_D, cms_bucket_sql
+
+    ex_i = (
+        f"explode(sequence(0, {CMS_D - 1}))"
+        if dialect == "spark"
+        else f"unnest(range(0, {CMS_D}))"
+    )
+    bucket = cms_bucket_sql(dialect, "i", f"cast(k AS {'string' if dialect == 'spark' else 'varchar'})")
+    return f"""
+WITH a AS (SELECT user_id AS k FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id AS k FROM events WHERE event_type = 'purchase'),
+-- exact join size: sum over keys of count_a * count_b (the audit; at
+-- production scale this is the expensive side the sketch replaces)
+ca AS (SELECT k, cast(count(*) AS bigint) AS n FROM a GROUP BY k),
+cb AS (SELECT k, cast(count(*) AS bigint) AS n FROM b GROUP BY k),
+truth AS (
+    SELECT cast(sum(ca.n * cb.n) AS bigint) AS true_size
+    FROM ca JOIN cb ON ca.k = cb.k
+),
+-- CMS of each side: d salted rows x w buckets of key frequencies
+cells_a AS (
+    SELECT i, {bucket} AS w, cast(count(*) AS bigint) AS n
+    FROM (SELECT k, {ex_i} AS i FROM a) t GROUP BY i, {bucket}
+),
+cells_b AS (
+    SELECT i, {bucket} AS w, cast(count(*) AS bigint) AS n
+    FROM (SELECT k, {ex_i} AS i FROM b) t GROUP BY i, {bucket}
+),
+-- per hash row, the sketch inner product; min over rows is the AMS/CMS
+-- join-size estimate (always >= truth: colliding keys only add mass)
+per_row AS (
+    SELECT a2.i, cast(sum(a2.n * b2.n) AS bigint) AS ip
+    FROM cells_a a2 JOIN cells_b b2 ON a2.i = b2.i AND a2.w = b2.w
+    GROUP BY a2.i
+),
+est AS (SELECT cast(min(ip) AS bigint) AS cms_estimate FROM per_row)
+SELECT t.true_size, e.cms_estimate,
+       cast(e.cms_estimate - t.true_size AS bigint) AS overcount,
+       (e.cms_estimate - t.true_size) / cast(t.true_size AS double)
+           AS rel_error
+FROM truth t CROSS JOIN est e
+"""
+
+
+@register("join_size_cms_estimate", oracle=_join_size_sql("duckdb"))
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min inner products — the
+    sketch result behind cost-based join planning: |A ⋈ B| on a key
+    equals the inner product of the two frequency vectors, and the
+    minimum over the sketch rows' bucket-wise inner products estimates
+    it one-sidedly (collisions only ADD mass, so estimate ≥ truth —
+    checked in-row). Each side reduces to d×w integer cells in one
+    pass, so the planner's estimate costs sketch-merge time instead of
+    running the join; the exact side rides along here as the audit.
+    Everything is md5-nibble integer arithmetic — bit-identical across
+    engines (shared builders with heavy_hitters_cms and the streaming
+    CMS)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_join_size_sql("spark"))

@@ -341,6 +341,8 @@ BNLJ_ALLOWED = {
     "pass_at_k_eval",
     "lateness_watermark_profile",
     "matryoshka_dim_fidelity",
+    # join_size's 1-row truth x 1-row estimate cross join
+    "join_size_cms_estimate",
     # round-4 batch 5: rolling HLL's calendar-bounded day-grid range
     # join (30 x 7 x 256 rows), triangle stats' 1-row wedge x tri
     # scalar join, PMI's 1-row totals broadcast

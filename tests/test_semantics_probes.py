@@ -720,3 +720,10 @@ def test_matryoshka_fidelity_improves_with_dim(con):
     # the shortest prefix pays at least as much as the longest
     assert (d.regret_sum_micro >= 0).all()
     assert d[d.dim == 8].regret_sum_micro.iloc[0] >= d[d.dim == 32].regret_sum_micro.iloc[0]
+
+
+def test_join_size_cms_is_one_sided_and_tight_enough(con):
+    d = con.execute(_oracle("join_size_cms_estimate")).fetchdf().iloc[0]
+    assert d.true_size > 0
+    assert d.overcount >= 0  # CMS inner product never underestimates
+    assert d.rel_error < 0.5  # d=4 x w=512 keeps collisions modest
