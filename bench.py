@@ -134,6 +134,7 @@ EXTRA = [
     "lateness_watermark_profile",
     "matryoshka_dim_fidelity",
     "join_size_cms_estimate",
+    "bpe_merge_learn",
 ]
 
 

@@ -347,3 +347,101 @@ def matryoshka_dim_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(_matryoshka_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_sql(dialect: str) -> str:
+    if dialect == "spark":
+        chars = "trim(regexp_replace(concat(w, '_'), '(.)', '$1 '))"
+        pairs_expl = (
+            "explode(transform(sequence(1, size(ts) - 1), "
+            "i -> named_struct('p1', element_at(ts, i), "
+            "'p2', element_at(ts, i + 1)))) AS pr"
+        )
+        ntok = "size(split(tok, ' '))"
+        tok_expl = "explode(split(tok, ' ')) AS t"
+    else:
+        chars = "trim(regexp_replace(concat(w, '_'), '(.)', '\\1 ', 'g'))"
+        pairs_expl = (
+            "unnest(list_transform(range(1, len(ts)), "
+            "i -> {'p1': ts[i], 'p2': ts[i + 1]})) AS pr"
+        )
+        ntok = "len(string_split(tok, ' '))"
+        tok_expl = "unnest(string_split(tok, ' ')) AS t"
+    split_fn = "split" if dialect == "spark" else "string_split"
+
+    rounds = []
+    prev = "tok0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""pairs{r} AS (
+    SELECT pr.p1 AS p1, pr.p2 AS p2, cast(sum(cnt) AS bigint) AS pc
+    FROM (SELECT cnt, {split_fn}(tok, ' ') AS ts FROM {prev}) t,
+         LATERAL (SELECT {pairs_expl}) e
+    GROUP BY pr.p1, pr.p2
+),
+merge{r} AS (
+    SELECT p1, p2, pc,
+           concat(' ', p1, ' ', p2, ' ') AS pat,
+           concat(' ', p1, p2, ' ') AS rep
+    FROM pairs{r} ORDER BY pc DESC, p1, p2 LIMIT 1
+),
+tok{r} AS (
+    -- three boundary-guarded replace passes: one pass cannot re-match
+    -- across a consumed shared space (runs of the same token), three
+    -- cover runs up to length 8 — beyond any word in a real vocab
+    SELECT w, cnt,
+           trim(replace(replace(replace(concat(' ', tok, ' '),
+                m.pat, m.rep), m.pat, m.rep), m.pat, m.rep)) AS tok
+    FROM {prev} CROSS JOIN merge{r} m
+),
+stats{r} AS (
+    SELECT {r} AS round,
+           (SELECT p1 FROM merge{r}) AS left_tok,
+           (SELECT p2 FROM merge{r}) AS right_tok,
+           (SELECT pc FROM merge{r}) AS pair_count,
+           cast(sum(cnt * {ntok}) AS bigint) AS corpus_tokens_after,
+           (SELECT cast(count(DISTINCT t) AS bigint)
+            FROM (SELECT {tok_expl} FROM tok{r}) u) AS token_types_after
+    FROM tok{r}
+)""")
+        prev = f"tok{r}"
+    chain = ",\n".join(rounds)
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM stats{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH vocab AS (
+    SELECT w, cast(count(*) AS bigint) AS cnt
+    FROM (SELECT {tok_expl.replace('tok', 'lower(text)')} FROM documents) u,
+         LATERAL (SELECT t AS w) v
+    WHERE t <> ''
+    GROUP BY w
+),
+tok0 AS (SELECT w, cnt, {chars} AS tok FROM vocab),
+{chain}
+{union}
+"""
+
+
+@register("bpe_merge_learn", oracle=_bpe_sql("duckdb"))
+def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning, six rounds unrolled: the
+    corpus reduces ONCE to a (word, count) vocabulary (the only
+    fact-scale aggregation — identical at 100 TB), then each round
+    counts weighted adjacent-token pairs over that metadata-scale
+    table, picks the top pair (count desc, pair asc tie-break) and
+    applies the merge via boundary-guarded string replacement. Output
+    per round: the learned merge rule, its support, and the corpus
+    token count + token-type count after applying it — the vocab-size/
+    compression trajectory a tokenizer team actually reads. This is
+    the training half of the tokenizer family (fertility and coverage
+    entries measure the inference half)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_bpe_sql("spark"))

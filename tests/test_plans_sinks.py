@@ -343,6 +343,8 @@ BNLJ_ALLOWED = {
     "matryoshka_dim_fidelity",
     # join_size's 1-row truth x 1-row estimate cross join
     "join_size_cms_estimate",
+    # bpe's per-round 1-row merge-rule broadcast + scalar subqueries
+    "bpe_merge_learn",
     # round-4 batch 5: rolling HLL's calendar-bounded day-grid range
     # join (30 x 7 x 256 rows), triangle stats' 1-row wedge x tri
     # scalar join, PMI's 1-row totals broadcast

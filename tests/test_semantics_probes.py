@@ -727,3 +727,17 @@ def test_join_size_cms_is_one_sided_and_tight_enough(con):
     assert d.true_size > 0
     assert d.overcount >= 0  # CMS inner product never underestimates
     assert d.rel_error < 0.5  # d=4 x w=512 keeps collisions modest
+
+
+def test_bpe_merges_compress_monotonically(con):
+    d = con.execute(_oracle("bpe_merge_learn")).fetchdf().sort_values("round")
+    # every merge strictly shrinks the corpus token count by its support
+    # (each applied pair replaces two tokens with one)
+    assert (d.corpus_tokens_after.diff().dropna() < 0).all()
+    assert (d.pair_count > 0).all()
+    # supports are non-increasing: the best pair of round r+1 existed in
+    # round r (or was created by it, bounded by the merged pair's count)
+    assert (d.pair_count.diff().dropna() <= 0).all()
+    # merged tokens enter the type inventory; it never shrinks below the
+    # character alphabet
+    assert (d.token_types_after.diff().dropna() >= 0).all()
