@@ -14,6 +14,12 @@ Fidelity rules:
 - document text gets a per-replica suffix token (and n_chars adjusts)
   so the exact/near-dup structure is replicated, not multiplied —
   10 identical corpora would quadratically inflate every pair query;
+- documents/embeddings use SMALL strides (multiples of their own mod
+  conventions: lcm(10,20,25,30,50)=300 and lcm(25,50)=50) so replica
+  ids stay BELOW the catalog's planted-copy sentinel (ids >= 100000
+  mark synthetic new-batch rows in the llmdata oracles; a real id
+  crossing it breaks the oracle-side reconstruction of the planted
+  split, observed as an ann_lsh_cosine row blow-up);
 - embeddings perturb their first component per replica for the same
   reason (cosine structure preserved, exact-duplicate vectors not);
 - dims (region, nation) copy as-is; timestamps are untouched so
@@ -80,8 +86,15 @@ def main() -> int:
     s_user = stride_for(
         con.execute(f"SELECT max(user_id) FROM {src('events')}").fetchone()[0]
     )
-    s_doc = stride_for(max_key("documents", "doc_id"))
-    s_vec = stride_for(max_key("embeddings", "vec_id"))
+    # sentinel-safe strides: multiples of the doc/vec mod conventions,
+    # small enough that 10 replicas stay below id 100000
+    def small_stride(mx: int, base: int) -> int:
+        return ((mx // base) + 1) * base
+
+    s_doc = small_stride(max_key("documents", "doc_id"), 300)
+    s_vec = small_stride(max_key("embeddings", "vec_id"), 50)
+    assert max_key("documents", "doc_id") + (k - 1) * s_doc < 100_000
+    assert max_key("embeddings", "vec_id") + (k - 1) * s_vec < 100_000
 
     rep = f"(SELECT unnest(range(0, {k})) AS i)"
 
