@@ -60,6 +60,14 @@ from .registry import register
 _W_SPARK = words_sql("spark")
 _W_DUCK = words_sql("duckdb")
 
+# PLANTED-COPY SENTINEL: synthetic "new batch" rows are marked by
+# id + 100000, and the DuckDB oracles reconstruct the planted/base
+# split with `id >= 100000` while the Spark sides carry actual frames.
+# Natural doc_id/vec_id values must therefore stay BELOW 100000 in any
+# test dataset — tools/make_scale_data.py asserts this for generated
+# scale-ups (a violated sentinel shows up as asymmetric query/corpus
+# splits, observed once as an ann_lsh_cosine row blow-up at sf1).
+
 # tail-truncated near-dup copies of every 10th doc (id + 100000)
 _TRUNC_SPARK = (
     f"array_join(slice({_W_SPARK}, 1, greatest(size({_W_SPARK}) - 5, 1)), ' ')"
