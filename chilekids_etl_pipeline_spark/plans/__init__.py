@@ -29,18 +29,108 @@ def _externally_verified() -> set[str]:
     return green
 
 
+_PKG_PREFIX = "chilekids_etl_pipeline_spark"
+_NORM_CACHE: dict[int, str] = {}
+
+
+def _normalized_source(obj) -> str:
+    """AST-normalized source of a callable: comments vanish in the
+    parse, docstrings are stripped, formatting is canonicalized — so
+    documentation edits never revoke a verification, while any
+    code-semantic edit does."""
+    import ast
+    import inspect
+    import textwrap
+
+    key = id(obj)
+    if key in _NORM_CACHE:
+        return _NORM_CACHE[key]
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(obj)))
+    except (OSError, TypeError, SyntaxError):
+        return ""
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(body, list)
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    out = ast.unparse(tree)
+    _NORM_CACHE[key] = out
+    return out
+
+
+def _dependency_sources(fn) -> list[str]:
+    """Normalized sources (and constant values) of everything the entry
+    transitively references inside this package: the registered function
+    itself, module-level helpers it calls (including cross-module ones
+    like functions/sketch.py builders — where Spark-only dialect
+    branches live), and referenced module-level constants (rendered
+    template strings, tuning numbers). This closes the gap where a
+    Spark-branch edit in a shared builder left the old fn-source+oracle
+    fingerprint unchanged."""
+    import ast
+    import inspect
+    import sys
+    import textwrap
+
+    out: dict[str, str] = {}
+    seen: set[int] = set()
+
+    def visit(f) -> None:
+        if id(f) in seen:
+            return
+        seen.add(id(f))
+        try:
+            src = inspect.getsource(f)
+        except (OSError, TypeError):
+            return
+        qual = f"{getattr(f, '__module__', '?')}.{getattr(f, '__qualname__', '?')}"
+        out[qual] = _normalized_source(f)
+        module = sys.modules.get(getattr(f, "__module__", ""), None)
+        if module is None:
+            return
+        try:
+            tree = ast.parse(textwrap.dedent(src))
+        except SyntaxError:
+            return
+        names = sorted(
+            {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+        )
+        for nm in names:
+            obj = getattr(module, nm, None)
+            if obj is None:
+                continue
+            mod = getattr(obj, "__module__", None)
+            if callable(obj) and isinstance(mod, str) and mod.startswith(
+                _PKG_PREFIX
+            ):
+                visit(obj)
+            elif isinstance(obj, (str, int, float, tuple, frozenset)):
+                out[f"{module.__name__}:{nm}"] = repr(obj)
+
+    visit(fn)
+    return [f"{k}\n{v}" for k, v in sorted(out.items())]
+
+
 def impl_hash(name: str) -> str:
     """Fingerprint of what an external green row actually verified: the
-    entry's undecorated function source plus its resolved oracle SQL
-    (templates shared between both dialects flow through the oracle
-    string, so template edits change the hash too)."""
+    entry's dependency-closure source (AST-normalized — see
+    _dependency_sources) plus its resolved oracle SQL. Editing any code
+    the entry executes, in its own module or a shared helper module,
+    changes the hash and revokes the verification; comment and
+    docstring edits do not."""
     import hashlib
-    import inspect
 
     e = QUERIES[name]
-    src = inspect.getsource(e.raw_fn) if e.raw_fn is not None else ""
+    parts = _dependency_sources(e.raw_fn) if e.raw_fn is not None else []
     oracle = e.oracle() if callable(e.oracle) else (e.oracle or "")
-    return hashlib.md5((src + "\n--\n" + oracle).encode()).hexdigest()
+    blob = "\n====\n".join(parts) + "\n--oracle--\n" + oracle
+    return hashlib.md5(blob.encode()).hexdigest()
 
 
 def _verified_impl_hashes() -> dict[str, str]:

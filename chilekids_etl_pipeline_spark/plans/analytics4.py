@@ -155,13 +155,14 @@ _PR_EDGES = """
 """
 
 
-def _pagerank_sql(dialect: str, edges_src: str | None = None) -> str:
-    # edges_src seam kept for A/B: persisting the edge aggregate was
-    # MEASURED SLOWER (r5: inline 1.16 s vs persisted 1.57 s median at
-    # sf0.1) — unlike cooccurrence_pmi, the re-computed subtree here is
-    # a tiny 37x37 aggregate over a small scan, so the cache-build
-    # barrier costs more than seven cheap rescans; the wall is AQE job
-    # rounds over the 3-iteration join chain, not recompute
+def _pagerank_sql(dialect: str) -> str:
+    # NOTE: persisting the edge aggregate was A/B'd and MEASURED SLOWER
+    # (r5: inline 1.16 s vs persisted 1.57 s median at sf0.1) — unlike
+    # cooccurrence_pmi, the re-computed subtree here is a tiny 37x37
+    # aggregate over a small scan, so the cache-build barrier costs
+    # more than seven cheap rescans; the wall is AQE job rounds over
+    # the 3-iteration join chain, not recompute. The edges CTE stays
+    # inline.
     div = (
         (lambda a, b: f"(({a}) DIV ({b}))")
         if dialect == "spark"
@@ -189,11 +190,7 @@ r{i} AS (
         )
         prev = f"r{i}"
     chain = ",\n".join(iters)
-    edges_body = (
-        f"SELECT * FROM {edges_src}"
-        if edges_src
-        else _PR_EDGES.format(n=_PR_NODES)
-    )
+    edges_body = _PR_EDGES.format(n=_PR_NODES)
     return f"""
 WITH edges AS ({edges_body}),
 nodes AS (

@@ -277,7 +277,7 @@ _BLOOM_CUTOFF = 400000  # orders above this price form the filter
 _BLOOM_WORDS = (_BLOOM_BITS + 62) // 63  # 261 words cover 16384 bits
 
 
-def _bloom_sql(dialect: str, keys_src: str | None = None) -> str:
+def _bloom_sql(dialect: str) -> str:
     s = "string" if dialect == "spark" else "varchar"
     idiv = "DIV" if dialect == "spark" else "//"
     shl = (
@@ -327,15 +327,13 @@ def _bloom_sql(dialect: str, keys_src: str | None = None) -> str:
         )
         return f"({word_at(p)} & {mask}) != 0"
 
-    # keys_src lets the Spark side persist the filter-key set once:
-    # it feeds the bloom build, the truth join AND the count subquery —
-    # three different downstream exchanges, so SQL inlining would scan
-    # orders three times
+    # NOTE: persisting the filter-key set was A/B'd and rejected — the
+    # cache-build job serializes ahead of everything (~+0.15 s) while
+    # the three inline scans are cheap (0.26 s each) and overlap across
+    # AQE jobs; the keys CTE stays inline.
     keys_body = (
-        f"SELECT * FROM {keys_src}"
-        if keys_src
-        else f"SELECT DISTINCT o_orderkey AS key FROM orders "
-             f"WHERE o_totalprice > {_BLOOM_CUTOFF}"
+        f"SELECT DISTINCT o_orderkey AS key FROM orders "
+        f"WHERE o_totalprice > {_BLOOM_CUTOFF}"
     )
     test_all = " AND ".join(bit_set(i) for i in range(_BLOOM_K))
     pos_cols = ", ".join(f"{pos(str(i))} AS p{i}" for i in range(_BLOOM_K))
@@ -405,9 +403,6 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch ships at 100 TB: the array is the broadcast variable."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    # keys persist was A/B'd and rejected: the cache-build job serializes
-    # ahead of everything (~+0.15 s) while the three inline scans are
-    # cheap (0.26 s each) and overlap across AQE jobs
     return spark.sql(_bloom_sql("spark"))
 
 

@@ -379,8 +379,12 @@ def _bpe_sql(dialect: str) -> str:
     prev = "tok0"
     for r in range(1, _BPE_ROUNDS + 1):
         rounds.append(f"""pairs{r} AS (
+    -- single-token words have no adjacent pairs; the guard also keeps
+    -- Spark's sequence(1, 0) (which is DESCENDING, not empty) out of
+    -- the pair transform
     SELECT pr.p1 AS p1, pr.p2 AS p2, cast(sum(cnt) AS bigint) AS pc
-    FROM (SELECT cnt, {split_fn}(tok, ' ') AS ts FROM {prev}) t,
+    FROM (SELECT cnt, {split_fn}(tok, ' ') AS ts FROM {prev}
+          WHERE {ntok} >= 2) t,
          LATERAL (SELECT {pairs_expl}) e
     GROUP BY pr.p1, pr.p2
 ),

@@ -129,14 +129,17 @@ def apply_migrations(
     versions = [m.version for m in migrations]
     if len(set(versions)) != len(versions):
         raise ValueError("duplicate migration versions")
-    current = table_version(table_dir)
-    if current is not None and current not in versions:
+    if to_version is not None and to_version not in versions:
         raise ValueError(
-            f"table at unknown version {current!r}; "
-            f"known: {versions}"
+            f"unknown to_version {to_version!r}; known: {versions}"
         )
-    start = versions.index(current) + 1 if current is not None else 0
-    applied_before = versions[:start]
+
+    def resolve_start(current: str | None) -> int:
+        if current is not None and current not in versions:
+            raise ValueError(
+                f"table at unknown version {current!r}; known: {versions}"
+            )
+        return versions.index(current) + 1 if current is not None else 0
 
     old = table_dir + ".old"
     tmp = table_dir + ".tmp"
@@ -144,11 +147,21 @@ def apply_migrations(
     # pre-crash state in .old) — same discipline as the upsert sink
     if not os.path.exists(table_dir) and os.path.exists(old):
         os.rename(old, table_dir)
-        current = table_version(table_dir)
-        start = versions.index(current) + 1 if current is not None else 0
-        applied_before = versions[:start]
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+    start = resolve_start(table_version(table_dir))
+    if to_version is not None:
+        target_idx = versions.index(to_version)
+        if target_idx == start - 1:
+            return []  # already exactly at the target: no-op
+        if target_idx < start - 1:
+            raise ValueError(
+                f"to_version {to_version!r} is below the table's current "
+                f"version {versions[start - 1]!r}; downgrades are not "
+                "supported"
+            )
+    applied_before = versions[:start]
 
     applied_now: list[str] = []
     for m in migrations[start:]:

@@ -242,14 +242,18 @@ def fetch_sheet_values(
     )
     for attempt in range(1, policy.max_attempts + 1):
         headers = params = None
-        token = token_provider() if token_provider is not None else None
-        if token:
-            headers = {"Authorization": f"Bearer {token}"}
-        elif api_key:
-            params = {"key": api_key}
-        else:
-            return []
         try:
+            # token minting sits INSIDE the retried block, like the
+            # reference's get_google_access_token() call inside the
+            # tenacity-wrapped function: a transient auth failure is
+            # retried with the same backoff as a transport failure
+            token = token_provider() if token_provider is not None else None
+            if token:
+                headers = {"Authorization": f"Bearer {token}"}
+            elif api_key:
+                params = {"key": api_key}
+            else:
+                return []
             data = transport(url, headers, params)
         except Exception:
             if attempt >= policy.max_attempts:

@@ -201,11 +201,28 @@ def start_upsert_sink(
     only meaningful per checkpoint, so replay detection must be keyed on
     (checkpoint, batch) — see ``merge_upsert_batch`` (by hand) and
     ``merge_upsert_batch_delta`` (Delta txnAppId/txnVersion)."""
+    import os
+
     from .merge_delta import delta_available, merge_upsert_batch_delta
 
+    if table_format not in ("auto", "delta", "parquet"):
+        raise ValueError(
+            f"unknown table_format {table_format!r}; "
+            "expected 'auto', 'delta' or 'parquet'"
+        )
     sink_id = sink_id_for(checkpoint_dir)
+    # auto never switches an EXISTING parquet-swap target onto the Delta
+    # body (a fresh Delta log would orphan the prior rows); continuity
+    # wins, and an explicit 'delta' request on such a target raises in
+    # the merge body instead of silently rewriting
+    existing_parquet = (
+        os.path.exists(target_dir)
+        and not os.path.exists(os.path.join(target_dir, "_delta_log"))
+        and bool(os.listdir(target_dir))
+    )
     use_delta = table_format == "delta" or (
         table_format == "auto"
+        and not existing_parquet
         and delta_available(normalized.sparkSession)
     )
     if table_format == "delta" and not delta_available(

@@ -83,10 +83,21 @@ def merge_upsert_batch_delta(
         try:
             import os
 
-            if not (
-                os.path.exists(target_path)
-                and os.path.exists(os.path.join(target_path, "_delta_log"))
+            is_delta = os.path.exists(
+                os.path.join(target_path, "_delta_log")
+            )
+            if os.path.exists(target_path) and not is_delta and os.listdir(
+                target_path
             ):
+                # an existing parquet-swap target: creating a fresh Delta
+                # table here would orphan every previously upserted row
+                # (the new log references none of the old files)
+                raise RuntimeError(
+                    f"{target_path} holds a non-Delta table; migrate it "
+                    "explicitly (read parquet, write delta) before "
+                    "switching the sink to MERGE"
+                )
+            if not is_delta:
                 deduped.write.format("delta").mode("overwrite").save(
                     target_path
                 )

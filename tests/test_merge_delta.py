@@ -100,3 +100,33 @@ def test_delta_merge_roundtrip_and_replay(spark, tmp_path):
         for r in spark.read.format("delta").load(target).collect()
     }
     assert got["k2"] == "b2"
+
+
+def test_invalid_table_format_rejected(spark, tmp_path):
+    from chilekids_etl_pipeline_spark.streaming.incremental import (
+        start_upsert_sink,
+    )
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="unknown table_format"):
+        start_upsert_sink(
+            stream,
+            str(tmp_path / "t"),
+            str(tmp_path / "c"),
+            table_format="Delta",  # case typo must not silently degrade
+        )
+
+
+def test_delta_body_refuses_existing_parquet_target(spark, tmp_path):
+    """Switching an existing parquet-swap target onto the MERGE body
+    would orphan every previously upserted row — the guard fires before
+    any Delta write, so it is testable without the jars."""
+    target = str(tmp_path / "tgt")
+    spark.createDataFrame([("k1", 1, "a")],
+        "raw_id string, received_at int, payload_hash string"
+    ).write.parquet(target)
+    body = merge_upsert_batch_delta(target, key_col="raw_id", sink_id="s")
+    batch = spark.createDataFrame([("k2", 2, "b")],
+        "raw_id string, received_at int, payload_hash string")
+    with pytest.raises(RuntimeError, match="non-Delta table"):
+        body(batch, 0)

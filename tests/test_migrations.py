@@ -102,3 +102,16 @@ def test_version_sidecar_invisible_to_parquet_reader(spark, tmp_path):
     apply_migrations(spark, t, _migs()[:1])
     # underscore-prefixed sidecar is metadata to Spark's file index
     assert spark.read.parquet(t).count() == 2
+
+
+def test_to_version_validation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _seed(spark, t)
+    with pytest.raises(ValueError, match="unknown to_version"):
+        apply_migrations(spark, t, _migs(), to_version="002_renam_name")
+    apply_migrations(spark, t, _migs(), to_version="002_rename_name")
+    # target == current: no-op, not a full upgrade
+    assert apply_migrations(spark, t, _migs(), to_version="002_rename_name") == []
+    with pytest.raises(ValueError, match="downgrade"):
+        apply_migrations(spark, t, _migs(), to_version="001_add_total_rub")
+    assert table_version(t) == "002_rename_name"

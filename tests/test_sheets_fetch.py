@@ -142,3 +142,40 @@ def test_header_pad_truncate_and_row_pad():
     recs = api_values_to_records(wide)
     assert len(recs[0]) == SHEETS_EXPECTED_COLS
     assert "h32" not in recs[0] and "h31" in recs[0]
+
+
+def test_auth_failure_is_retried_like_transport_failure():
+    """Token minting sits inside the retried block (the reference runs
+    get_google_access_token() inside the tenacity-wrapped function), so
+    a transient auth outage backs off and retries instead of raising on
+    the first attempt."""
+    mints = {"n": 0}
+
+    def flaky_token():
+        mints["n"] += 1
+        if mints["n"] <= 2:
+            raise TimeoutError("metadata server timeout")
+        return "tok"
+
+    transport = FlakyTransport(n_failures=0)
+    sleeps: list[float] = []
+    records = fetch_sheet_values(
+        "sheet1",
+        transport=transport,
+        token_provider=flaky_token,
+        sleep=sleeps.append,
+    )
+    assert [r["pk"] for r in records] == ["1", "2"]
+    assert mints["n"] == 3
+    assert sleeps == [4.0, 4.0]
+    # and exhaustion re-raises the auth error, not a transport one
+    def always_fails():
+        raise TimeoutError("still down")
+
+    with pytest.raises(TimeoutError):
+        fetch_sheet_values(
+            "sheet1",
+            transport=transport,
+            token_provider=always_fails,
+            sleep=lambda s: None,
+        )

@@ -66,8 +66,12 @@ def main() -> int:
     plans.load_all()
     green = plans._externally_verified()
     existing: dict = {}
-    if OUT.exists() and not args.rebuild:
+    if OUT.exists():
         existing = json.loads(OUT.read_text())
+    if args.rebuild:
+        # re-record hashes from scratch (e.g. after a fingerprint-scheme
+        # change) but NEVER forget pending re-verification drops
+        existing = {"_pending": existing.get("_pending", {})}
     # pending: key -> artifact count at drop time; the key stays
     # unverified until a LATER round's artifact shows it green again
     pending: dict[str, int] = dict(existing.get("_pending", {}))
