@@ -444,7 +444,15 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count + token-type count after applying it — the vocab-size/
     compression trajectory a tokenizer team actually reads. This is
     the training half of the tokenizer family (fertility and coverage
-    entries measure the inference half)."""
+    entries measure the inference half).
+
+    Perf note (A/B, sf0.1): persisting the vocab reduce measured 3x
+    SLOWER (23 s vs 8.8 s median) — the inline chain stays inside a few
+    fused jobs while the cache adds a barrier plus per-reference job
+    rounds; the 8.8 s wall (vs DuckDB's 10.8 s on the same work) is
+    job-scheduling floor over the 6-round chain, not recompute. At
+    cluster scale the right structure is one materialized vocab table
+    plus a driver-side loop issuing one tiny job per round."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
