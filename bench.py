@@ -135,6 +135,9 @@ EXTRA = [
     "matryoshka_dim_fidelity",
     "join_size_cms_estimate",
     "bpe_merge_learn",
+    "event_markov_transitions",
+    "schema_drift_keys",
+    "gdpr_erasure_audit",
 ]
 
 

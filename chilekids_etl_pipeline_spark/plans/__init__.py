@@ -192,7 +192,7 @@ def load_all() -> None:
 
     # Round-5 batch — registers after every older unverified key so the
     # gate window drains oldest-first.
-    from . import lakehouse, llmdata10  # noqa: F401
+    from . import lakehouse, llmdata10, analytics10  # noqa: F401
 
     verified = externally_verified()
     ordered = {

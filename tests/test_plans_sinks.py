@@ -345,6 +345,11 @@ BNLJ_ALLOWED = {
     "join_size_cms_estimate",
     # bpe's per-round 1-row merge-rule broadcast + scalar subqueries
     "bpe_merge_learn",
+    # batch-10 governance entries: 1-row reference/total cross joins
+    # and the erasure audit's 1-row count subqueries
+    "data_freshness_sla",
+    "schema_drift_keys",
+    "gdpr_erasure_audit",
     # round-4 batch 5: rolling HLL's calendar-bounded day-grid range
     # join (30 x 7 x 256 rows), triangle stats' 1-row wedge x tri
     # scalar join, PMI's 1-row totals broadcast

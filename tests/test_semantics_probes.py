@@ -741,3 +741,35 @@ def test_bpe_merges_compress_monotonically(con):
     # merged tokens enter the type inventory; it never shrinks below the
     # character alphabet
     assert (d.token_types_after.diff().dropna() >= 0).all()
+
+
+def test_markov_rows_are_distributions(con):
+    d = con.execute(_oracle("event_markov_transitions")).fetchdf()
+    sums = d.groupby("cur").p.sum()
+    assert ((sums - 1.0).abs() < 1e-9).all()
+    assert (d[d.rank_in_row == 1].groupby("cur").size() == 1).all()
+
+
+def test_freshness_flags_are_monotone(con):
+    d = con.execute(_oracle("data_freshness_sla")).fetchdf()
+    # a feed inside the 1h bound is inside 6h and 24h too
+    assert ((~d.within_1h) | d.within_6h).all()
+    assert ((~d.within_6h) | d.within_24h).all()
+    assert (d.lag_us >= 0).all() and (d.lag_us == 0).any()
+
+
+def test_schema_drift_detects_planted_addition(con):
+    d = con.execute(_oracle("schema_drift_keys")).fetchdf().set_index(
+        "json_key"
+    )
+    assert d.loc["sess"].status == "added"
+    assert d.loc["k"].status == "present"
+    assert abs(d.loc["k"].rate_old - 1.0) < 1e-9
+    assert 0.2 < d.loc["ver"].rate_new < 0.5  # ~1/3 of rows
+
+
+def test_erasure_audit_leaks_nothing_and_removes_someone(con):
+    d = con.execute(_oracle("gdpr_erasure_audit")).fetchdf()
+    assert (d.n_leaked_rows == 0).all()
+    assert d.n_rows_removed.sum() > 0
+    assert (d.n_requests > 0).all()
