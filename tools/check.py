@@ -6,11 +6,18 @@ order-insensitive value hash (columns sorted by name, rows sorted, floats
 rounded to 6 significant-ish decimals before hashing).
 
 Usage: python tools/check.py [sf_dir] [only_query ...]
+
+Set CHECK_QUERY_TIMEOUT=<seconds> to put a watchdog on every query: on
+expiry the DuckDB connection is interrupted and all Spark jobs are
+cancelled, the query is recorded as a timeout FAIL, and the sweep
+continues — so one quadratic oracle (the r5 sf1 sweep wedged for 30+
+minutes on an exact all-pairs ground truth) cannot stall the whole run.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -33,9 +40,44 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(payload).hexdigest()
 
 
+class _Watchdog:
+    """Interrupts both engines if a query exceeds the budget."""
+
+    def __init__(self, spark, con, seconds: float):
+        self.spark, self.con, self.seconds = spark, con, seconds
+        self.fired = False
+        self._timer = None
+
+    def _fire(self):
+        self.fired = True
+        try:
+            self.con.interrupt()
+        except Exception:
+            pass
+        try:
+            self.spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        import threading
+
+        if self.seconds > 0:
+            self._timer = threading.Timer(self.seconds, self._fire)
+            self._timer.daemon = True
+            self._timer.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._timer is not None:
+            self._timer.cancel()
+        return False
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    per_query_timeout = float(os.environ.get("CHECK_QUERY_TIMEOUT", "0"))
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
@@ -44,7 +86,6 @@ def main() -> int:
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     import glob
-    import os
 
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p).removesuffix(".parquet")
@@ -56,21 +97,24 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(sdf)} rows")
-            continue
-        try:
-            odf = con.execute(oracles[name]).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
-            continue
+        with _Watchdog(spark, con, per_query_timeout) as wd:
+            try:
+                sdf = fn(spark, sf_dir).toPandas()
+            except Exception as e:
+                kind = "timeout" if wd.fired else "spark error"
+                print(f"FAIL {name}: {kind}: {str(e)[:300]}")
+                n_fail += 1
+                continue
+            if name not in oracles:
+                print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+                continue
+            try:
+                odf = con.execute(oracles[name]).fetchdf()
+            except Exception as e:
+                kind = "timeout" if wd.fired else "oracle error"
+                print(f"FAIL {name}: {kind}: {str(e)[:300]}")
+                n_fail += 1
+                continue
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)}≠{len(odf)}")
