@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # --- 13. Q1-style pricing summary (scan-heavy groupBy, no join)
@@ -78,10 +78,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance was measured as a loss and reverted (commit df386f7).
     # filter BEFORE repartition: the predicate reaches the parquet scan
     # (PushedFilters) and the exchange ships only surviving rows
-    li = (
+    li = maybe_rebalance(
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     # narrow decimals keep the triple product inside precision 38 —
     # see the note on _Q1_ORACLE (sf1-sweep finding)

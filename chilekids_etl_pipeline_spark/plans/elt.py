@@ -18,7 +18,7 @@ from ..operators.incremental import (
     upsert_latest,
     with_payload_hash,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 
@@ -135,10 +135,9 @@ def changed_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied BEFORE its repartition+hash so it reaches the parquet scan
     and the 20% of rows it drops are never hashed or shuffled."""
     ev = load_table(spark, sf_dir, "events")
-    n = spark.sparkContext.defaultParallelism
 
     def hashed(df):
-        return with_payload_hash(df.repartition(n), F.expr(_canon("spark"))).select(
+        return with_payload_hash(maybe_rebalance(df), F.expr(_canon("spark"))).select(
             "event_id", F.col("ts").alias("received_at"), "payload_hash"
         )
 

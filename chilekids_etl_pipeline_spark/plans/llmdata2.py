@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.contamination import BENCH_GRAM_N, bench_grams_cte as _bench_grams_cte
 from ..functions.text import shingles_sql, words_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -300,10 +300,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on one core (measured 2x slower at sf0.1). On a cluster the
     file layout provides scan splits and the exchange is one cheap
     round-robin ahead of the dominant per-row work."""
-    docs = (
+    docs = maybe_rebalance(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(words_sql("spark")).alias("warr"))
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     grams = docs.select(
         "doc_id",

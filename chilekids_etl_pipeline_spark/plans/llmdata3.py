@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import stop_hits_sql, words_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from ..functions.contamination import bench_grams_cte as _bench_grams_cte
 from .registry import register
 
@@ -656,11 +656,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields one split, and the persisted survivors inherit partitioning —
     # without the rebalance the whole gram-explosion stage runs on one
     # task (at cluster scale, file layout provides this)
-    dedup = (
-        spark.sql(_pipeline_dedup_sql("spark"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
+    dedup = maybe_rebalance(spark.sql(_pipeline_dedup_sql("spark"))).persist()
     dedup.createOrReplaceTempView("dedup_docs")
     return spark.sql(_pipeline_rest_sql("spark", "dedup_docs"))
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import bpe_token_count_sql, shingles_sql, words_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 
@@ -175,9 +175,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram table is persisted ONCE: the CTE feeds both the train and eval
     sides, and SQL CTE inlining would otherwise shingle the corpus
     twice (measured 11.5 s → the persisted form at sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     grams_expr = shingles_sql("spark", words_sql("spark"), _LEAK_N)
     grams = spark.sql(
@@ -409,9 +407,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     local scan = one task) and persist the exploded grams once — the
     CTE feeds both the first-seen aggregate and the per-doc count, and
     inlining would run the explode twice (10.2 s → ~3 s at sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     grams_expr = shingles_sql("spark", words_sql("spark"), _NOVELTY_N)
     grams = spark.sql(

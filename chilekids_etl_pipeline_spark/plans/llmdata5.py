@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.text import shingles_sql, words_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 
@@ -119,9 +119,7 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle table once — the sh CTE is referenced four times and SQL
     inlining would shingle the corpus four times (9.8 s → ~2 s at
     sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     grams_expr = shingles_sql("spark", words_sql("spark"), _CONTAIN_N)
     sh = spark.sql(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.sketch import CMS_D as _CMS_D
 from ..functions.sketch import cms_bucket_sql as _cms_bucket_sql
 from ..functions.text import words_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -246,9 +246,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the local parquet is a single row group (1 scan task). At
     real scale file layout provides the splits and the persisted dims
     table is the per-iteration cache every distributed k-means keeps."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = maybe_rebalance(load_table(spark, sf_dir, "embeddings"))
     emb.createOrReplaceTempView("embeddings")
     dims = spark.sql(_kmeans_dims("spark"))
     dims.persist().createOrReplaceTempView("kmeans_dims_mat")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.text import words_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -131,9 +131,7 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides) — materialized once on the Spark side so SQL inlining does
     not re-explode the corpus (the CTE-inlining lesson from
     minhash_containment, 9.8→2 s)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     grams = spark.sql(
         f"WITH docs AS ({_sub_docs_cte('spark')}) {_sub_pos_grams('spark')}"

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.text import words_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -135,9 +135,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins + the total) and the bigram table twice (support filter +
     total) — SQL inlining re-exploded the corpus five times (3.7 s at
     sf0.1); both aggregates are materialized once (→ ~1.3 s)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     w = words_sql("spark")
     pairs = (
@@ -296,9 +294,7 @@ def similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Perf: the shingle CTE is referenced four times — materialized once
     on the Spark side (the standing CTE-inlining lesson)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     from ..functions.text import shingles_sql
 

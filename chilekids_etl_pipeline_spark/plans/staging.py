@@ -25,7 +25,7 @@ from ..operators.staging import (
     extract_raw_sql,
     normalize_staging,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # Header dialect per row (l_orderkey % 4): English, Russian, snake_case,
@@ -142,12 +142,10 @@ def staging_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly one split, and at cluster scale a few fat input files would
     # starve the parse the same way — the shuffle moves ~raw bytes once and
     # buys full parallelism for the 41-column normalization above it.
-    raw = (
+    raw = maybe_rebalance(
         li.select("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice",
                   "l_returnflag", "l_shipdate")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("l_orderkey", "l_linenumber", F.expr(_payload_sql("spark")).alias("payload"))
-    )
+    ).select("l_orderkey", "l_linenumber", F.expr(_payload_sql("spark")).alias("payload"))
     out = normalize_staging(raw, "payload")
     proj = [F.col("l_orderkey"), F.col("l_linenumber")]
     for name, typ, _ in STAGING_COLUMNS:

@@ -24,6 +24,44 @@ TABLES = (
     "embeddings",
 )
 
+# Conf controlling whether plans may widen a degenerate local scan.
+#   "auto" (default): rebalance ONLY under a local[...] master, where the
+#       single-row-group test parquet gives every scan exactly one task.
+#   "on": always rebalance (manual override for a pathological layout).
+#   "off": never rebalance (used by plan tests to pin Exchange-free scans).
+REBALANCE_CONF = "spark_graft.local_rebalance"
+
+
+def maybe_rebalance(df: DataFrame) -> DataFrame:
+    """Widen a scan-bound DataFrame across cores — ONLY in degenerate layouts.
+
+    The sandbox's test tables are single-row-group parquet files, so a scan
+    is one task no matter how many cores exist; per-row-heavy plans (wide
+    JSON parses, shingling) starve without an explicit widening exchange.
+    On a real cluster the file layout provides splits and that exchange
+    would pointlessly ship the whole filtered fact table, so this helper is
+    a no-op there: mode "auto" checks ``spark.master`` and only acts under
+    ``local[...]``. Plans call this instead of hard-coding
+    ``.repartition(defaultParallelism)`` so the production plan stays
+    Exchange-free above the scan (pinned by tests/test_plans_sinks.py).
+    """
+    spark = df.sparkSession
+    try:
+        mode = (spark.conf.get(REBALANCE_CONF, "auto") or "auto").lower()
+    except Exception:
+        mode = "auto"
+    if mode == "off":
+        return df
+    if mode == "auto":
+        try:
+            master = spark.conf.get("spark.master", "") or ""
+        except Exception:
+            master = ""
+        if not master.startswith("local"):
+            return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table.
 

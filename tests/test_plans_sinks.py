@@ -393,3 +393,42 @@ def test_q16_blacklist_is_anti_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_rebalance_gate_off_means_exchange_free_scan(spark):
+    """With spark_graft.local_rebalance=off, production plans must NOT
+    ship the fact table through an Exchange above the scan: the only
+    Exchange in q1 is the aggregate's, and the per-row-heavy document
+    plans keep a fused single-stage scan (VERDICT r5 #1)."""
+    from chilekids_etl_pipeline_spark.sources.tables import REBALANCE_CONF
+
+    spark.conf.set(REBALANCE_CONF, "off")
+    try:
+        # q1: exactly one Exchange (the groupBy's) — no RoundRobin widen
+        plan = _plan(QS["q1_pricing_summary"](spark, SF_SMALL))
+        assert "RoundRobinPartitioning" not in plan
+        # staging_records / changed_records: scan feeds the parse directly
+        for key in ("staging_records", "changed_records", "split_leakage_check"):
+            plan = _plan(QS[key](spark, SF_SMALL))
+            assert "RoundRobinPartitioning" not in plan, key
+    finally:
+        spark.conf.set(REBALANCE_CONF, "auto")
+
+
+def test_rebalance_gate_auto_widens_local_scan(spark):
+    """Under a local[...] master, auto mode keeps the measured widening."""
+    from chilekids_etl_pipeline_spark.sources.tables import (
+        REBALANCE_CONF,
+        load_table,
+        maybe_rebalance,
+    )
+
+    spark.conf.set(REBALANCE_CONF, "auto")
+    df = maybe_rebalance(load_table(spark, SF_SMALL, "lineitem"))
+    assert "RoundRobinPartitioning" in _plan(df)
+    spark.conf.set(REBALANCE_CONF, "off")
+    try:
+        df = maybe_rebalance(load_table(spark, SF_SMALL, "lineitem"))
+        assert "RoundRobinPartitioning" not in _plan(df)
+    finally:
+        spark.conf.set(REBALANCE_CONF, "auto")
