@@ -57,8 +57,35 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def jaccard_pairs(sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> DataFrame:
-    """All-pairs Jaccard ≥ threshold via shingle equi-join (no cross join)."""
+def jaccard_pairs(
+    sh: DataFrame,
+    min_jaccard: float,
+    id_col: str = "doc_id",
+    df_cap_denom: int | None = None,
+) -> DataFrame:
+    """All-pairs Jaccard ≥ threshold via shingle equi-join (no cross join).
+
+    ``df_cap_denom`` caps shingle document frequency before the self-join:
+    shingles appearing in more than ``n_docs / df_cap_denom`` documents are
+    dropped from BOTH the pair join and the per-doc set sizes (stop-gram-
+    filtered Jaccard). Without the cap, one boilerplate shingle shared by k
+    docs contributes k² join rows — a job-killer at crawl scale (VERDICT r5
+    #2); with it, no bucket exceeds (n_docs/denom)² and the pair work stays
+    bounded. The hot set is tiny by construction (few shingles can exceed
+    the cap), so it is removed with a broadcast anti-join — no shuffle is
+    added to the hot path. ``None`` keeps exact uncapped semantics for
+    bounded audit corpora (dedup_lsh_recall's ground truth).
+    """
+    if df_cap_denom is not None:
+        corpus = sh.agg(F.count_distinct(F.col(id_col)).alias("n_corpus"))
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .join(F.broadcast(corpus))
+            .filter(F.col("df") * df_cap_denom > F.col("n_corpus"))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

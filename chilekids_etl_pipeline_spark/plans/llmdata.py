@@ -153,14 +153,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SH_DUCK = shingles_sql("duckdb", "w")
+_JACCARD_DF_DENOM = 20  # drop shingles with df > n_docs/20 (5%) pre-join
 _JACCARD_ORACLE = f"""
 WITH {_DOCS_AUG_DUCK},
 wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
 sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+corpus AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
+hot AS (
+    SELECT shingle FROM (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+    ) d CROSS JOIN corpus WHERE df * {_JACCARD_DF_DENOM} > n
+),
+shf AS (
+    SELECT doc_id, shingle FROM sh
+    WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = sh.shingle)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, c / (ca.n + cb.n - c) AS jaccard
@@ -173,10 +184,17 @@ WHERE c / (ca.n + cb.n - c) >= 0.5
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs word-3-gram Jaccard ≥ 0.5 via shingle equi-join — pairs
-    only materialize for docs sharing a shingle, never O(n²)."""
-    sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
-    return jaccard_pairs(sh, 0.5)
+    """Stop-gram-filtered word-3-gram Jaccard ≥ 0.5 via shingle equi-join.
+
+    Pairs only materialize for docs sharing a NON-hot shingle: document
+    frequency is capped at n_docs/{denom} before the self-join (the same
+    df discipline as minhash_containment), so one boilerplate shingle in
+    k docs can no longer contribute k² join rows at crawl scale. The
+    shingle table is persisted once — it feeds the corpus count, the hot
+    set, and the anti-joined pair sides (CTE-inlining lesson).
+    """
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
+    return jaccard_pairs(sh, 0.5, df_cap_denom=_JACCARD_DF_DENOM)
 
 
 # ---------------------------------------------------------------------------

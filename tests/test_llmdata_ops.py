@@ -272,3 +272,22 @@ def test_sketch_hash_expressions_match_duckdb_on_fuzz(spark):
         assert got == [tuple(r) for r in want]
 
     inner()
+
+
+def test_jaccard_df_cap_drops_hot_shingle(spark):
+    """A boilerplate shingle shared by every doc must not create pairs:
+    with df_cap_denom the hot shingle is anti-joined out BEFORE the
+    self-join, so the planted footer links nothing (VERDICT r5 #2)."""
+    footer = "all rights reserved"
+    rows = [(i, f"u{i} v{i} w{i} {footer}") for i in range(1, 41)]
+    rows += [(100, "p q r s t"), (101, "p q r s t")]
+    sh = shingle_rows(_docs(spark, rows))
+    # uncapped: the footer 3-gram joins all 40 boilerplate docs pairwise
+    uncapped = jaccard_pairs(sh, 0.0).count()
+    assert uncapped > 700  # 40*39/2 hot pairs + the true dup
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sh, 0.5, df_cap_denom=20).collect()
+    }
+    # only the genuine duplicate pair survives, at jaccard 1.0
+    assert capped == {(100, 101): 1.0}
