@@ -664,6 +664,15 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH index quality: candidate recall/precision vs exact Jaccard truth
 
+# The exact ground-truth side is quadratic in audit-corpus size by design,
+# so the audit runs on a deterministic stratified sample: keep base ids
+# with (id % DENOM) == 0, normalizing planted-twin ids (id % 100000) so
+# every twin stays in the same stratum as its source and planted pairs
+# survive sampling intact. At sf1 this cuts the all-shared-shingle join
+# ~DENOM² (the r5 sweep's only red row: DuckDB spilled 70 GB on the full
+# corpus); at 100 TB the same stratum bound is what makes the QA runnable.
+_RECALL_SAMPLE_DENOM = 5
+
 
 def _lsh_recall_oracle() -> str:
     """Composed lazily from llmdata's shared CTE templates (same corpus
@@ -673,7 +682,8 @@ def _lsh_recall_oracle() -> str:
 
     return f"""
 WITH {_DOCS_AUG_DUCK.lstrip()},
-wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
+audit AS (SELECT doc_id, text FROM docs WHERE (doc_id % 100000) % {_RECALL_SAMPLE_DENOM} = 0),
+wd AS (SELECT doc_id, {_W_DUCK} AS w FROM audit),
 sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
 hd AS (
     SELECT doc_id,
@@ -731,7 +741,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-join ground truth on the same augmented corpus. This is the
     measurement a production pipeline runs on a sample before trusting the
     index at full scale — the exact side is the expensive all-shared-
-    shingle join, which is why it runs on samples, not the corpus. Counts
+    shingle join, which is why it runs on a deterministic stratified sample (base-id stratum, twin ids normalized so planted pairs stay whole - see _RECALL_SAMPLE_DENOM). Counts
     reduce to one row; the three scalars broadcast-combine."""
     from ..operators.dedup import (
         jaccard_pairs,
@@ -741,7 +751,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .llmdata import _docs_aug_spark
 
-    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
+    audit = _docs_aug_spark(spark, sf_dir).filter(
+        (F.col("doc_id") % 100000) % _RECALL_SAMPLE_DENOM == 0
+    )
+    sh = shingle_rows(audit).persist()
     exact = jaccard_pairs(sh, 0.5).select("doc_a", "doc_b")
     cand = lsh_candidate_pairs(minhash_bands(sh, num_hashes=12, band_size=3))
     hits = exact.join(cand, ["doc_a", "doc_b"])
