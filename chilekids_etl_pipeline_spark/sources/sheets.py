@@ -189,8 +189,11 @@ class FetchPolicy:
 
     def delay(self, retry_number: int) -> float:
         """Seconds to wait before retry #retry_number (1-based), per
-        tenacity's wait_exponential: multiplier * 2^(n-1), clamped."""
-        raw = self.backoff_multiplier * (2 ** (retry_number - 1))
+        tenacity's wait_exponential: multiplier * 2^attempt_number,
+        clamped to [min, max] — so attempts 1.. wait 4, 4, 8, 10, 10…
+        (reaching the 10 s cap on the 4th retry, exactly tenacity's
+        schedule for multiplier=1, min=4, max=10)."""
+        raw = self.backoff_multiplier * (2**retry_number)
         return max(self.backoff_min, min(self.backoff_max, raw))
 
 
@@ -199,7 +202,10 @@ def api_values_to_records(
 ) -> list[dict[str, Any]]:
     """The reference's response shaping (src/sheets.py:40-53): pad the
     header row with Column_{i+1} names up to the range width, truncate
-    extras, pad each data row with '' to the header width."""
+    extras, pad each data row with '' to the header width. A data row
+    WIDER than the padded header raises, matching the reference's
+    ``dict(zip(..., strict=True))`` — a malformed row errors loudly
+    instead of silently dropping its tail."""
     if not values:
         return []
     raw_headers = list(values[0])
@@ -210,10 +216,16 @@ def api_values_to_records(
         ]
     elif len(raw_headers) > expected_col_count:
         raw_headers = raw_headers[:expected_col_count]
-    return [
-        dict(zip(raw_headers, r + [""] * (len(raw_headers) - len(r))))
-        for r in values[1:]
-    ]
+    out = []
+    for i, r in enumerate(values[1:], start=2):
+        if len(r) > len(raw_headers):
+            raise ValueError(
+                f"sheet row {i} has {len(r)} cells, wider than the "
+                f"{len(raw_headers)}-column header (strict zip parity "
+                "with src/sheets.py:53)"
+            )
+        out.append(dict(zip(raw_headers, r + [""] * (len(raw_headers) - len(r)))))
+    return out
 
 
 def fetch_sheet_values(
@@ -275,6 +287,80 @@ def fetch_sheet_to_raw_df(
     call, network injected."""
     records = fetch_sheet_values(spreadsheet_id, **fetch_kwargs)
     return records_to_raw_df(spark, records, source)
+
+
+def push_sheet_values(
+    payload: dict[str, Any],
+    spreadsheet_id: str,
+    sheet_name: str = "Sheet1",
+    *,
+    transport: Callable[[str, dict, dict], dict],
+    token_provider: Callable[[], str | None],
+    policy: FetchPolicy = FetchPolicy(),
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict[str, Any]:
+    """Append a values payload back to a sheet (src/sheets.py:71-85
+    ``push_df_to_sheet``) with the fetch side's retry contract.
+
+    transport(url, headers, json_body) → decoded JSON dict (raise on
+    transport failure). Reference parity points:
+
+    - the append URL is ``{sheet_name}!A1:append?valueInputOption=RAW``;
+    - auth is bearer-only — a missing token raises RuntimeError
+      immediately (src/sheets.py:74: no api-key fallback for writes);
+    - the token is minted INSIDE the retry loop, so each attempt gets a
+      refreshed token, same as the fetch side;
+    - the body is ``{"values": [...]}`` exactly as serialized by
+      ``df_to_sheet_values`` (header row + ''-filled stringified rows).
+
+    The reference's push is unretried (only its fetch carries tenacity);
+    this engine applies the same 5-attempt backoff contract to both
+    directions — an append interrupted by a transient 5xx replays rather
+    than dropping the export. Sheets appends are idempotent only at the
+    whole-payload level, which is how the reference uses them (one
+    summary append per run)."""
+    url = (
+        f"https://sheets.googleapis.com/v4/spreadsheets/{spreadsheet_id}"
+        f"/values/{sheet_name}!A1:append?valueInputOption=RAW"
+    )
+    body = {"values": payload["values"]}
+    for attempt in range(1, policy.max_attempts + 1):
+        try:
+            token = token_provider()
+            if not token:
+                raise RuntimeError(
+                    "missing Google access token; sheet append is bearer-only"
+                )
+            headers = {
+                "Authorization": f"Bearer {token}",
+                "Content-Type": "application/json",
+            }
+            return transport(url, headers, body)
+        except RuntimeError:
+            raise  # auth absence is not transient — fail fast, no retry
+        except Exception:
+            if attempt >= policy.max_attempts:
+                raise
+            sleep(policy.delay(attempt))
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
+def push_df_to_sheet(
+    df: DataFrame,
+    spreadsheet_id: str,
+    sheet_name: str = "Sheet1",
+    max_rows: int = 100_000,
+    **push_kwargs: Any,
+) -> dict[str, Any]:
+    """df_to_sheet_values + push_sheet_values: the whole reference export
+    path (bounded collect → stringify → POST append with retries) as one
+    call, network injected."""
+    return push_sheet_values(
+        df_to_sheet_values(df, max_rows=max_rows),
+        spreadsheet_id,
+        sheet_name,
+        **push_kwargs,
+    )
 
 
 async def fetch_google_sheets(spreadsheet_id: str, range_name: str = "Sheet1!A:AF"):

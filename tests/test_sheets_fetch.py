@@ -53,9 +53,10 @@ def test_retry_until_success_with_tenacity_backoff_schedule():
     )
     assert [r["pk"] for r in records] == ["1", "2"]
     assert len(transport.calls) == 5
-    # wait_exponential(multiplier=1, min=4, max=10): 1,2,4,8 clamped to
-    # min 4 → 4,4,4,8 between the five attempts
-    assert sleeps == [4.0, 4.0, 4.0, 8.0]
+    # wait_exponential(multiplier=1, min=4, max=10): 2,4,8,16 clamped
+    # to [4,10] → 4,4,8,10 between the five attempts (tenacity's
+    # 2**attempt_number schedule, reaching the cap on the 4th retry)
+    assert sleeps == [4.0, 4.0, 8.0, 10.0]
 
 
 def test_exhausted_retries_reraise_and_backoff_caps_at_max():
@@ -71,8 +72,8 @@ def test_exhausted_retries_reraise_and_backoff_caps_at_max():
             sleep=sleeps.append,
         )
     assert len(transport.calls) == 7
-    # retries 5+ hit the 10 s cap: 4,4,4,8,10,10
-    assert sleeps == [4.0, 4.0, 4.0, 8.0, 10.0, 10.0]
+    # retries 4+ hit the 10 s cap: 4,4,8,10,10,10
+    assert sleeps == [4.0, 4.0, 8.0, 10.0, 10.0, 10.0]
 
 
 def test_token_refreshed_each_attempt():
@@ -137,11 +138,15 @@ def test_header_pad_truncate_and_row_pad():
     # the reference zips row against the 32 headers; an extra cell beyond
     # the named headers lands in the first padded column
     assert recs[1]["Column_3"] == "extra-cell"
-    # >32 headers truncate
-    wide = [[f"h{i}" for i in range(40)], ["x"] * 40]
+    # >32 headers truncate; a row within the truncated width shapes fine,
+    # but a 40-cell row against the 32-column header raises (the
+    # reference's strict zip would too — src/sheets.py:53)
+    wide = [[f"h{i}" for i in range(40)], ["x"] * 32]
     recs = api_values_to_records(wide)
     assert len(recs[0]) == SHEETS_EXPECTED_COLS
     assert "h32" not in recs[0] and "h31" in recs[0]
+    with pytest.raises(ValueError, match="wider than the 32-column header"):
+        api_values_to_records([[f"h{i}" for i in range(40)], ["x"] * 40])
 
 
 def test_auth_failure_is_retried_like_transport_failure():
@@ -179,3 +184,89 @@ def test_auth_failure_is_retried_like_transport_failure():
             token_provider=always_fails,
             sleep=lambda s: None,
         )
+
+
+def test_wide_row_raises_strict_zip_parity():
+    """A data row wider than the padded 32-column header raises, matching
+    the reference's dict(zip(..., strict=True)) — never silently
+    truncated to fit (src/sheets.py:53)."""
+    wide = {"values": [["pk", "name"], ["1"] + ["x"] * SHEETS_EXPECTED_COLS]}
+    with pytest.raises(ValueError, match="wider than the 32-column header"):
+        api_values_to_records(wide["values"])
+    # a row exactly at the padded width is fine
+    ok = {"values": [["pk"], ["v"] * SHEETS_EXPECTED_COLS]}
+    recs = api_values_to_records(ok["values"])
+    assert len(recs) == 1 and recs[0]["pk"] == "v"
+
+
+class FlakyPostTransport:
+    def __init__(self, n_failures: int):
+        self.n_failures = n_failures
+        self.calls: list[tuple[str, dict, dict]] = []
+
+    def __call__(self, url, headers, body):
+        self.calls.append((url, headers, body))
+        if len(self.calls) <= self.n_failures:
+            raise ConnectionError(f"post boom #{len(self.calls)}")
+        return {"updates": {"updatedRows": len(body["values"])}}
+
+
+def test_push_appends_header_plus_rows_with_retry():
+    from chilekids_etl_pipeline_spark.sources.sheets import push_sheet_values
+
+    payload = {"values": [["pk", "name"], ["1", "a"], ["2", "b"]]}
+    transport = FlakyPostTransport(n_failures=2)
+    sleeps: list[float] = []
+    tokens = iter(["t1", "t2", "t3"])
+    resp = push_sheet_values(
+        payload,
+        "sheet1",
+        "Expenses",
+        transport=transport,
+        token_provider=lambda: next(tokens),
+        sleep=sleeps.append,
+    )
+    assert resp == {"updates": {"updatedRows": 3}}
+    assert len(transport.calls) == 3
+    assert sleeps == [4.0, 4.0]
+    url, headers, body = transport.calls[-1]
+    # append endpoint + RAW input mode (src/sheets.py:76)
+    assert url.endswith("/values/Expenses!A1:append?valueInputOption=RAW")
+    # token refreshed per attempt; JSON content type
+    assert [h["Authorization"] for _, h, _ in transport.calls] == [
+        "Bearer t1", "Bearer t2", "Bearer t3"
+    ]
+    assert headers["Content-Type"] == "application/json"
+    assert body == {"values": [["pk", "name"], ["1", "a"], ["2", "b"]]}
+
+
+def test_push_missing_token_fails_fast_without_retry():
+    from chilekids_etl_pipeline_spark.sources.sheets import push_sheet_values
+
+    transport = FlakyPostTransport(n_failures=0)
+    with pytest.raises(RuntimeError, match="missing Google access token"):
+        push_sheet_values(
+            {"values": [["pk"]]},
+            "sheet1",
+            transport=transport,
+            token_provider=lambda: None,
+            sleep=lambda s: (_ for _ in ()).throw(AssertionError("no sleep")),
+        )
+    assert transport.calls == []  # auth absence never reaches the wire
+
+
+def test_push_exhausts_and_reraises():
+    from chilekids_etl_pipeline_spark.sources.sheets import push_sheet_values
+
+    transport = FlakyPostTransport(n_failures=99)
+    sleeps: list[float] = []
+    with pytest.raises(ConnectionError, match="post boom #5"):
+        push_sheet_values(
+            {"values": [["pk"]]},
+            "sheet1",
+            transport=transport,
+            token_provider=lambda: "tok",
+            sleep=sleeps.append,
+        )
+    assert len(transport.calls) == 5
+    assert sleeps == [4.0, 4.0, 8.0, 10.0]
