@@ -229,8 +229,10 @@ def start_upsert_sink(
         normalized.sparkSession
     ):
         raise RuntimeError(
-            "table_format='delta' but the Delta jars are not on the "
-            "classpath; use 'auto' or 'parquet'"
+            "table_format='delta' but the session can't run Delta MERGE "
+            "(jars missing from the classpath, or spark.sql.extensions "
+            "lacks io.delta.sql.DeltaSparkSessionExtension); use 'auto' "
+            "or 'parquet'"
         )
     body = (
         merge_upsert_batch_delta(target_dir, key_col, sink_id=sink_id)

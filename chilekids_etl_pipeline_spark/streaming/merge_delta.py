@@ -19,24 +19,45 @@ replayed batches are no-ops.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_DELTA_EXTENSION = "io.delta.sql.DeltaSparkSessionExtension"
+
+# Delta's idempotent-write metadata for SQL MERGE rides on SESSION-global
+# confs (txnAppId/txnVersion). Two upsert sinks sharing one SparkSession
+# would race on them — one sink's MERGE could commit under the other's
+# (appId, version) and a legitimate later batch would be wrongly skipped.
+# This process-wide lock serializes the set → MERGE → unset critical
+# section so concurrent foreachBatch threads can't interleave the confs.
+_TXN_CONF_LOCK = threading.Lock()
+
 
 def delta_available(spark: SparkSession) -> bool:
-    """True when the Delta Lake jars are on the session's classpath.
+    """True when this session can actually run ``MERGE INTO delta.``.
 
-    Checks the JVM directly (``io.delta.tables.DeltaTable``) rather than
-    importing the delta-spark Python package — SQL ``MERGE INTO delta.``
-    needs only the jars + catalyst extension, not the Python bindings.
+    Two conditions, both required (jars alone are NOT enough — a session
+    whose classpath happens to carry delta jars but was built without the
+    catalyst extension fails at the first micro-batch, regressing a
+    previously working parquet-swap sink):
+
+    - ``io.delta.tables.DeltaTable`` resolves on the JVM classpath, and
+    - ``spark.sql.extensions`` includes the Delta session extension
+      (which injects the Delta SQL parser/analyzer rules MERGE needs).
     """
     try:
         spark._jvm.java.lang.Class.forName(  # noqa: SLF001
             "io.delta.tables.DeltaTable"
         )
-        return True
     except Exception:
         return False
+    try:
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        exts = ""
+    return _DELTA_EXTENSION in exts
 
 
 def _dedup_batch(
@@ -75,7 +96,13 @@ def merge_upsert_batch_delta(
         spark = batch.sparkSession
         deduped = _dedup_batch(batch, key_col, order_cols)
         # idempotent-writes metadata: scoped to this transaction via
-        # session confs (the documented path for SQL-driven writes)
+        # session confs (the documented path for SQL-driven writes —
+        # requires Delta >= 2.3, where idempotent DML honors these confs;
+        # older Delta only scoped them to DataFrameWriter writes). The
+        # confs are session-GLOBAL, so the whole set → MERGE → unset
+        # section holds _TXN_CONF_LOCK: concurrent sinks in one session
+        # serialize instead of committing under each other's identity.
+        _TXN_CONF_LOCK.acquire()
         spark.conf.set("spark.databricks.delta.write.txnAppId", sink_id)
         spark.conf.set(
             "spark.databricks.delta.write.txnVersion", str(int(batch_id))
@@ -118,5 +145,6 @@ def merge_upsert_batch_delta(
         finally:
             spark.conf.unset("spark.databricks.delta.write.txnAppId")
             spark.conf.unset("spark.databricks.delta.write.txnVersion")
+            _TXN_CONF_LOCK.release()
 
     return _merge

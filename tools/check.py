@@ -44,20 +44,31 @@ class _Watchdog:
     """Interrupts both engines if a query exceeds the budget."""
 
     def __init__(self, spark, con, seconds: float):
+        import threading
+
         self.spark, self.con, self.seconds = spark, con, seconds
         self.fired = False
         self._timer = None
+        # _fire and __exit__ race when the timer expires just as the
+        # query completes: without the lock a late _fire would interrupt
+        # the SHARED SparkContext/DuckDB connection while the NEXT query
+        # runs, recording a spurious timeout for an in-budget query.
+        self._lock = threading.Lock()
+        self._exited = False
 
     def _fire(self):
-        self.fired = True
-        try:
-            self.con.interrupt()
-        except Exception:
-            pass
-        try:
-            self.spark.sparkContext.cancelAllJobs()
-        except Exception:
-            pass
+        with self._lock:
+            if self._exited:
+                return  # query already finished within budget — stand down
+            self.fired = True
+            try:
+                self.con.interrupt()
+            except Exception:
+                pass
+            try:
+                self.spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
 
     def __enter__(self):
         import threading
@@ -69,8 +80,10 @@ class _Watchdog:
         return self
 
     def __exit__(self, *exc):
-        if self._timer is not None:
-            self._timer.cancel()
+        with self._lock:
+            self._exited = True
+            if self._timer is not None:
+                self._timer.cancel()
         return False
 
 
