@@ -36,7 +36,7 @@ def test_forced_delta_without_jars_raises(spark, tmp_path):
     )
 
     stream = spark.readStream.format("rate").load()
-    with pytest.raises(RuntimeError, match="Delta jars"):
+    with pytest.raises(RuntimeError, match="can't run Delta MERGE"):
         start_upsert_sink(
             stream,
             str(tmp_path / "tgt"),
