@@ -194,6 +194,9 @@ def load_all() -> None:
     # gate window drains oldest-first.
     from . import lakehouse, llmdata10, analytics10  # noqa: F401
 
+    # Round-6 batch.
+    from . import streamverify  # noqa: F401
+
     verified = externally_verified()
     ordered = {
         k: QUERIES[k] for k in QUERIES if k not in verified

@@ -304,6 +304,9 @@ BNLJ_ALLOWED = {
     "q15_top_supplier",
     "length_curriculum_buckets",
     "token_budget_allocator",
+    # round 6: the df-cap's 1-row corpus-count broadcast against the
+    # shingle-frequency table (same containment-df-cap pattern)
+    "dedup_ngram_jaccard",
     # round 4: 1-row scalar broadcasts (total-count / weight-sum /
     # max-doc-id) and semantic_dedup's 8-row centroid table (the IVF
     # coarse-quantizer pattern, same as ann_ivf_cosine)
