@@ -138,6 +138,8 @@ EXTRA = [
     "event_markov_transitions",
     "schema_drift_keys",
     "gdpr_erasure_audit",
+    # round-6 batch
+    "streaming_sessionize_replay",
 ]
 
 
@@ -221,8 +223,12 @@ def main() -> None:
         mins[name] = round(mn, 4)
     total = round(sum(timings.values()), 4)
 
+    # SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 times just the 14 headliners —
+    # used for the sf1 scale record, where the 80-query extra tail would
+    # take tens of minutes without changing the headline comparison
+    headline_only = os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1"
     extra: dict[str, float] = {}
-    for name in (n for n in EXTRA if n in qs):
+    for name in (n for n in EXTRA if n in qs and not headline_only):
         med, mn = run_query(qs[name], spark, sf_dir)
         extra[name] = round(med, 4)
         mins[name] = round(mn, 4)
