@@ -107,3 +107,96 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+def _upsert_oracle() -> str:
+    from .elt import _canon
+
+    canon = _canon("duckdb")
+    return f"""
+WITH upd AS (
+    SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type, user_id,
+           value + 1 AS value, props
+    FROM events WHERE event_id % 10 = 0
+),
+rows_all AS (
+    SELECT event_id, ts, event_type, user_id, value, props
+    FROM events WHERE event_id % 10 <> 0
+    UNION ALL
+    SELECT * FROM upd
+)
+SELECT event_id AS raw_id, ts AS received_at,
+       'live' AS source_type, event_type,
+       cast(cast(value AS decimal(10,2)) AS double) AS amount,
+       md5({canon}) AS payload_hash
+FROM rows_all
+"""
+
+
+@register("streaming_upsert_replay", oracle=_upsert_oracle)
+def streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed-upsert streaming sink (streaming/incremental.py
+    start_upsert_sink — the reference's ON CONFLICT DO UPDATE run
+    continuously, transform.py:240-346) exercised end-to-end through
+    real micro-batches: batch 1 streams the full events table, batch 2
+    streams updated copies of every 10th event (value+1, ts+1h), and the
+    final target must hold exactly one row per key with the update
+    winning. The winner is deterministic under ANY batching: a later
+    batch outranks via _batch_id, and a merged single batch falls back
+    to received_at desc — both pick the updated copy, which is what the
+    oracle states. (The watermarked content-hash dedup stage is
+    deliberately NOT in this entry: which duplicate a streaming dedup
+    keeps is arrival-order-dependent — correctness for it lives in
+    tests/test_streaming.py.)"""
+    import shutil
+
+    from .elt import _canon
+    from ..operators.incremental import with_payload_hash
+    from ..sources.tables import load_table
+    from ..streaming.incremental import start_upsert_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value", "props"
+    )
+    upd = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 1)
+    )
+    work = tempfile.mkdtemp(prefix="sur_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    # two single-file drops, mtime+name ordered so the file source
+    # replays them as two micro-batches: originals first, updates second
+    for stem, df, mtime in (("a_orig", ev, 1000), ("b_upd", upd, 2000)):
+        stage = os.path.join(work, f"stage_{stem}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"{stem}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    normalized = with_payload_hash(stream, F.expr(_canon("spark"))).select(
+        F.col("event_id").alias("raw_id"),
+        F.col("ts").alias("received_at"),
+        F.lit("live").alias("source_type"),
+        "event_type",
+        F.col("value").cast("decimal(10,2)").cast("double").alias("amount"),
+        "payload_hash",
+    )
+    target = os.path.join(work, "target")
+    q = start_upsert_sink(
+        normalized,
+        target,
+        os.path.join(work, "ckpt"),
+        key_col="raw_id",
+        table_format="parquet",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).drop("_batch_id", "_sink_id")
