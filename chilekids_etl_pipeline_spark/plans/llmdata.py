@@ -50,7 +50,7 @@ from ..operators.similarity import (
     topk_cosine,
     with_norm,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -93,7 +93,11 @@ def _docs_aug_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_TRUNC_SPARK).alias("text"),
         )
     )
-    return docs.unionByName(planted)
+    # every consumer of the augmented corpus is shingle/per-row heavy
+    # (word split + n-gram explode + md5 per shingle), so the degenerate
+    # single-row-group local scan is widened here once; no-op on a
+    # cluster (see maybe_rebalance)
+    return maybe_rebalance(docs.unionByName(planted))
 
 
 # embeddings as double vectors + perturbed copies of every 25th (id + 100000)
