@@ -140,6 +140,7 @@ EXTRA = [
     "gdpr_erasure_audit",
     # round-6 batch
     "streaming_sessionize_replay",
+    "lsh_band_tuning",
 ]
 
 

@@ -93,11 +93,12 @@ def _docs_aug_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_TRUNC_SPARK).alias("text"),
         )
     )
-    # every consumer of the augmented corpus is shingle/per-row heavy
-    # (word split + n-gram explode + md5 per shingle), so the degenerate
-    # single-row-group local scan is widened here once; no-op on a
-    # cluster (see maybe_rebalance)
-    return maybe_rebalance(docs.unionByName(planted))
+    # NO blanket rebalance here: an A/B at sf0.1 measured the widening
+    # exchange as a net LOSS for the minhash pipeline (1.21 -> 1.80 s;
+    # the signature groupBy immediately re-shuffles anyway) and as noise
+    # at sf1 (20.5 vs 21.8 s) — the shingle stages are shuffle-bound,
+    # not scan-bound, unlike the persisted-grams plans that do widen.
+    return docs.unionByName(planted)
 
 
 # embeddings as double vectors + perturbed copies of every 25th (id + 100000)

@@ -305,3 +305,97 @@ def similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh.persist().createOrReplaceTempView("simhist_sh_mat")
     return spark.sql(_simhist_sql("spark", sh_src="simhist_sh_mat"))
+
+
+# ---------------------------------------------------------------------------
+# LSH band/row tuning: S-curve evaluated against the measured similarity
+# histogram
+
+# (bands, rows) factorizations of the 12-hash signature the LSH entries use
+_TUNE_CONFIGS = ((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+
+def _ipow_sql(x: str, n_var: str) -> str:
+    """Integer power as an explicit left-associated product chain — pow()
+    is not guaranteed bit-identical across libm implementations, but
+    repeated IEEE multiplication is; exponents are the _TUNE_CONFIGS
+    members."""
+    cases = []
+    for n in sorted({b for b, _ in _TUNE_CONFIGS} | {r for _, r in _TUNE_CONFIGS}):
+        prod = " * ".join([f"({x})"] * n)
+        cases.append(f"WHEN {n_var} = {n} THEN {prod}")
+    return "CASE " + " ".join(cases) + " END"
+
+
+def _band_tuning_sql(dialect: str, hist_src: str | None = None) -> str:
+    if dialect == "spark":
+        configs = (
+            "SELECT cfg.b AS b, cfg.r AS r FROM (SELECT explode(array("
+            + ", ".join(f"named_struct('b', {b}, 'r', {r})" for b, r in _TUNE_CONFIGS)
+            + ")) AS cfg)"
+        )
+    else:
+        configs = (
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({b}, {r})" for b, r in _TUNE_CONFIGS)
+            + ") t(b, r)"
+        )
+    hist_body = (
+        f"SELECT bucket, n_pairs FROM {hist_src}"
+        if hist_src
+        else f"SELECT bucket, n_pairs FROM ({_simhist_sql(dialect)})"
+    )
+    s_mid = "((bucket + cast(0.5 AS double)) / cast(10 AS double))"
+    one = "cast(1 AS double)"
+    p_detect = (
+        f"({one} - {_ipow_sql(one + ' - ' + _ipow_sql(s_mid, 'r'), 'b')})"
+    )
+    return f"""
+WITH hist AS ({hist_body}),
+configs AS ({configs}),
+scored AS (
+    SELECT b, r, bucket, n_pairs,
+           cast(floor(n_pairs * {p_detect} * 1000000) AS bigint) AS micro
+    FROM configs CROSS JOIN hist
+),
+agg AS (
+    SELECT b, r,
+           cast(sum(micro) AS bigint) AS exp_cand_micro,
+           cast(sum(CASE WHEN bucket >= 5 THEN micro ELSE 0 END) AS bigint)
+               AS exp_true_micro,
+           cast(sum(CASE WHEN bucket >= 5 THEN n_pairs ELSE 0 END) AS bigint)
+               AS true_pairs
+    FROM scored GROUP BY b, r
+)
+SELECT b, r,
+       power(cast(1 AS double) - power(cast(0.5 AS double), cast(1 AS double) / b), cast(1 AS double) / r) AS s50,
+       exp_cand_micro, exp_true_micro, true_pairs,
+       exp_true_micro / (cast(1000000 AS double) * true_pairs) AS recall_at_05,
+       CASE WHEN exp_cand_micro = 0 THEN cast(0 AS double)
+            ELSE cast(1 AS double)
+                 - exp_true_micro / cast(exp_cand_micro AS double)
+       END AS waste_frac
+FROM agg
+"""
+
+
+@register("lsh_band_tuning", oracle=_band_tuning_sql("duckdb"))
+def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick (bands, rows) for the 12-hash MinHash signature BEFORE
+    running the dedup: the LSH S-curve P(s) = 1-(1-s^r)^b evaluated per
+    factorization against the corpus's MEASURED pair-similarity
+    histogram (similarity_histogram's df-capped candidate distribution),
+    yielding per config the crossover threshold s50, the expected
+    candidate load, recall over true (sim ≥ 0.5) pairs, and the wasted-
+    verification fraction. This is the design calculation LSH systems
+    run on a sample at 100 TB — the histogram is metadata-scale (10
+    rows), so the tuning itself is free; the corpus pass is the same
+    bounded inverted-index join similarity_histogram already runs.
+
+    Portability: per-bucket expected counts are floored integer micros
+    (order-free sums), and s^r/(1-s^r)^b use explicit multiplication
+    chains because libm pow() is not bit-stable across engines; the
+    only pow() left is the standalone s50 column."""
+    hist = similarity_histogram(spark, sf_dir)
+    hist.createOrReplaceTempView("simhist_for_tuning")
+    return spark.sql(_band_tuning_sql("spark", hist_src="simhist_for_tuning"))

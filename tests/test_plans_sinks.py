@@ -359,8 +359,11 @@ BNLJ_ALLOWED = {
     "rolling_distinct_hll",
     "graph_triangle_stats",
     "cooccurrence_pmi",
-    # similarity_histogram's 1-row corpus-count broadcast (df cap)
+    # similarity_histogram's 1-row corpus-count broadcast (df cap) —
+    # lsh_band_tuning builds on the same histogram pipeline, plus its
+    # 6-row config × 10-row histogram cross join
     "similarity_histogram",
+    "lsh_band_tuning",
     # batch 9: 1-row reference-date (KM) and weekly-mean (seasonality)
     # scalar broadcasts
     "survival_km_curve",
