@@ -141,6 +141,12 @@ EXTRA = [
     # round-6 batch
     "streaming_sessionize_replay",
     "lsh_band_tuning",
+    "ccnet_perplexity_buckets",
+    "code_prose_classify",
+    "best_of_n_select",
+    "sft_mask_plan",
+    "cer_pair_eval",
+    "event_gap_histogram",
 ]
 
 

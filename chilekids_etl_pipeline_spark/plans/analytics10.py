@@ -211,3 +211,61 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a partition-overwrite, plans/refresh.py style)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_erasure_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap histogram (session-timeout calibration)
+
+
+def _gap_hist_sql(dialect: str) -> str:
+    us = (
+        "unix_micros(ts) - unix_micros(lag(ts) OVER w)"
+        if dialect == "spark"
+        else "epoch_us(ts) - epoch_us(lag(ts) OVER w)"
+    )
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH gaps AS (
+    SELECT event_type, {us} AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+bucketed AS (
+    SELECT event_type,
+           CASE WHEN gap_us < 1000000 THEN 0
+                WHEN gap_us < 10000000 THEN 1
+                WHEN gap_us < 100000000 THEN 2
+                WHEN gap_us < 1000000000 THEN 3
+                WHEN gap_us < 10000000000 THEN 4
+                ELSE 5 END AS decade_bucket,
+           gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+),
+agg AS (
+    SELECT event_type, decade_bucket,
+           cast(count(*) AS bigint) AS n_gaps,
+           cast(sum(gap_us) AS bigint) AS sum_gap_us
+    FROM bucketed GROUP BY event_type, decade_bucket
+)
+SELECT event_type, decade_bucket, n_gaps,
+       cast((n_gaps * 1000000) {idiv}
+            (sum(n_gaps) OVER (PARTITION BY event_type))
+            AS bigint) AS share_micro,
+       sum_gap_us {idiv} n_gaps AS mean_gap_us
+FROM agg
+"""
+
+
+@register("event_gap_histogram", oracle=_gap_hist_sql("duckdb"))
+def event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of inter-event gaps per event type, bucketed by
+    decimal decade (sub-second up to >10000 s) — the calibration query
+    behind choosing a sessionization timeout: the session boundary
+    belongs in the bucket valley. One lag window partitioned by user
+    (high-cardinality → fully parallel), then an additive histogram
+    whose share denominators come from a window over the ~30-row
+    aggregate, not the fact table. The histogram is mergeable across
+    days/executors by addition — at 100 TB this IS the stored state,
+    like histogram_quantile's bins. Integer micros throughout."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_gap_hist_sql("spark"))

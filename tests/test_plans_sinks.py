@@ -300,6 +300,9 @@ BNLJ_ALLOWED = {
     "ann_ivf_cosine",
     "tf_idf_top_terms",
     "bigram_lm_score",
+    # ccnet_perplexity_buckets reuses bigram_lm_score's 1-row vocab
+    # broadcast
+    "ccnet_perplexity_buckets",
     "dedup_lsh_recall",
     "q15_top_supplier",
     "length_curriculum_buckets",
