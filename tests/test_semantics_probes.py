@@ -773,3 +773,75 @@ def test_erasure_audit_leaks_nothing_and_removes_someone(con):
     assert (d.n_leaked_rows == 0).all()
     assert d.n_rows_removed.sum() > 0
     assert (d.n_requests > 0).all()
+
+
+def test_lsh_band_tuning_tradeoff_curve(con):
+    d = con.execute(_oracle("lsh_band_tuning")).fetchdf().set_index("b")
+    # more bands (fixed 12-hash budget) => lower threshold, higher recall
+    assert d.s50.loc[12] < d.s50.loc[6] < d.s50.loc[2] < d.s50.loc[1]
+    assert d.recall_at_05.loc[12] >= d.recall_at_05.loc[1]
+    assert (d.recall_at_05 <= 1.0 + 1e-9).all()
+    # the permissive extreme wastes the most verification work
+    assert d.waste_frac.loc[12] == d.waste_frac.max()
+
+
+def test_ccnet_buckets_are_thirds_and_ordered(con):
+    d = con.execute(_oracle("ccnet_perplexity_buckets")).fetchdf()
+    per_lang = d.groupby("lang")
+    for lang, g in per_lang:
+        g = g.set_index("bucket").sort_index()
+        assert list(g.index) == [0, 1, 2], lang
+        n = g.n_docs.sum()
+        # thirds within one tie-block of exact
+        assert abs(g.n_docs.loc[0] - n / 3) < n / 6, lang
+        # head scores strictly better (lower) than tail scores
+        assert g.score_hi_micro.loc[0] <= g.score_lo_micro.loc[2], lang
+
+
+def test_code_classifier_flags_some_not_all(con):
+    d = con.execute(_oracle("code_prose_classify")).fetchdf()
+    assert 0 < d.is_code.sum() < len(d)
+    flagged = d[d.is_code == 1]
+    unflagged = d[d.is_code == 0]
+    assert flagged.kw_density_micro.min() > unflagged.kw_density_micro.mean()
+
+
+def test_best_of_n_margin_nonnegative_and_winner_in_group(con):
+    d = con.execute(_oracle("best_of_n_select")).fetchdf()
+    assert (d.margin_micro >= 0).all()
+    assert (d.best_doc_id // 8 == d.group_id).all()
+    assert (d.n_candidates <= 8).all()
+    assert d.margin_micro.max() > 0  # at least one decisive group
+
+
+def test_sft_mask_covers_doc_and_masks_minority(con):
+    d = con.execute(_oracle("sft_mask_plan")).fetchdf()
+    assert (d.prompt_tokens + d.response_tokens == d.n_tokens).all()
+    assert (d.mask_frac_micro <= 1000000).all()
+    # long docs mask ~20%
+    long = d[d.n_tokens >= 50]
+    assert not long.empty
+    assert (abs(long.mask_frac_micro - 200000) <= 20000).all()
+
+
+def test_cer_detects_truncation_but_stays_small(con):
+    d = con.execute(_oracle("cer_pair_eval")).fetchdf()
+    # every hypothesis lost its 5-word tail => nonzero edit distance
+    assert (d.edit_dist > 0).all()
+    # but the aligned window bounds CER well below 100%
+    assert (d.cer_micro < 1000000).all()
+    assert (d.ref_len <= 120).all() and (d.hyp_len <= 120).all()
+
+
+def test_event_gap_histogram_shares_and_means(con):
+    d = con.execute(_oracle("event_gap_histogram")).fetchdf()
+    per_type = d.groupby("event_type").share_micro.sum()
+    # integer-floored shares sum to ~1e6 per type
+    assert ((per_type > 999990) & (per_type <= 1000000)).all()
+    bounds = [0, 1_000_000, 10_000_000, 100_000_000, 1_000_000_000,
+              10_000_000_000]
+    for _, row in d.iterrows():
+        b = int(row.decade_bucket)
+        assert row.mean_gap_us >= bounds[b]
+        if b < 5:
+            assert row.mean_gap_us < bounds[b + 1]
