@@ -195,7 +195,7 @@ def load_all() -> None:
     from . import lakehouse, llmdata10, analytics10  # noqa: F401
 
     # Round-6 batch.
-    from . import streamverify, llmdata11  # noqa: F401
+    from . import streamverify, llmdata11, analytics11  # noqa: F401
 
     verified = externally_verified()
     ordered = {

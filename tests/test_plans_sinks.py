@@ -375,6 +375,10 @@ BNLJ_ALLOWED = {
     # 1-row overlap counters
     "psi_feature_drift",
     "entity_split_check",
+    # batch 11: the 1-row threshold broadcast (top-k phase 2) and the
+    # FPP sweep's 1-row word-array / 3-row salt-index broadcasts
+    "revenue_topk_threshold",
+    "bloom_fpp_calibration",
 }
 
 

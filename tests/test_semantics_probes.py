@@ -845,3 +845,52 @@ def test_event_gap_histogram_shares_and_means(con):
         assert row.mean_gap_us >= bounds[b]
         if b < 5:
             assert row.mean_gap_us < bounds[b + 1]
+
+
+def test_ewma_smooths_and_tracks(con):
+    d = con.execute(_oracle("ewma_daily_revenue")).fetchdf().sort_values(
+        "epoch_day"
+    )
+    # full 11-day support (weight_sum = 2^11 - 1) must hold for exactly
+    # the days whose entire lookback window exists in the sparse series
+    days = set(d.epoch_day)
+    expect_full = {
+        day for day in days if all(day - k in days for k in range(11))
+    }
+    full = d[d.weight_sum == 2047]
+    assert set(full.epoch_day) == expect_full
+    basis = full if len(full) >= 30 else d
+    # smoothing shrinks variance vs the raw series
+    assert basis.ewma_cents.std() < basis.rev_cents.std()
+    # the smoothed value is a weighted mean of present days, so it stays
+    # inside the raw range on every row (full support or not)
+    assert d.ewma_cents.min() >= d.rev_cents.min() - 1
+    assert d.ewma_cents.max() <= d.rev_cents.max() + 1
+
+
+def test_topk_threshold_matches_global_sort(con):
+    d = con.execute(_oracle("revenue_topk_threshold")).fetchdf()
+    naive = con.execute("""
+        SELECT o_custkey,
+               cast(sum(cast(round(o_totalprice * 100, 0) AS bigint))
+                    AS bigint) AS rev_cents
+        FROM orders GROUP BY o_custkey
+        ORDER BY rev_cents DESC, o_custkey LIMIT 100
+    """).fetchdf()
+    assert list(d.sort_values("rk").o_custkey) == list(naive.o_custkey)
+
+
+def test_bloom_fpp_tracks_theory_and_shrinks_with_m(con):
+    d = con.execute(_oracle("bloom_fpp_calibration")).fetchdf().sort_values(
+        "m_bits"
+    )
+    # more bits => fewer false positives (weakly, both measured+theory)
+    assert d.fpp_measured_micro.is_monotonic_decreasing
+    assert d.fpp_theory.is_monotonic_decreasing
+    # never a false negative: candidates cover all true members
+    assert (d.n_candidates >= d.n_true_members).all()
+    # measured within a small factor of theory where theory is sizeable
+    big = d[d.fpp_theory > 0.01]
+    for _, r in big.iterrows():
+        measured = r.fpp_measured_micro / 1e6
+        assert 0.3 * r.fpp_theory < measured < 3 * r.fpp_theory + 1e-4
