@@ -75,6 +75,14 @@ def topk_cosine(
     import numpy as np
     import pandas as pd
 
+    spark = corpus.sparkSession
+    # id columns keep their INPUT types (query ids from `queries`, neighbor
+    # ids from `corpus`) — hardcoding long would silently corrupt string or
+    # int ids at the Arrow boundary.
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, cosine double"
+
     qpd = (
         queries.select(F.col(id_col), F.col(vec_col))
         .limit(max_queries + 1)
@@ -87,11 +95,20 @@ def topk_cosine(
             f"ann_lsh_topk (hyperplane-LSH buckets) or ann_ivf_topk (IVF "
             f"cells) for large query sets."
         )
+    if len(qpd) == 0:
+        return spark.createDataFrame(
+            [], schema=f"query_id {qid_t}, neighbor_id {nid_t}, "
+            "rank int, cosine double"
+        )
     qids = qpd[id_col].to_numpy()
     qmat = np.array(qpd[vec_col].tolist(), dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
-    spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def _round6(x):
+        # HALF-AWAY-FROM-ZERO to match F.round / DuckDB round; np.round is
+        # half-to-even and diverges on exact .5e-6 ties.
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
 
     def _score_partition(batches):
         b_qids, b_qmat, b_qnorm = bq.value
@@ -102,9 +119,7 @@ def topk_cosine(
             cmat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cids = pdf[id_col].to_numpy()
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-            scores = np.round(
-                (cmat @ b_qmat.T) / np.outer(cnorm, b_qnorm), 6
-            )
+            scores = _round6((cmat @ b_qmat.T) / np.outer(cnorm, b_qnorm))
             out_q, out_n, out_s = [], [], []
             for j in range(nq):
                 keep = np.nonzero(cids != b_qids[j])[0]
@@ -126,7 +141,7 @@ def topk_cosine(
                 )
 
     partials = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _score_partition, "query_id long, neighbor_id long, cosine double"
+        _score_partition, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -129,9 +129,12 @@ cum AS (
     FROM hist
 ),
 threshold AS (
-    -- lower bound of the bucket where the cumulative count crosses k:
-    -- every true top-k member has rev >= this
-    SELECT coalesce(min(CASE WHEN n_at_or_above >= {_TOPK}
+    -- floor of the CROSSING bucket: the largest b whose cumulative
+    -- count (from the top) reaches k. Cumulative counts grow as b
+    -- decreases, so every lower bucket also satisfies >= k — max()
+    -- picks the highest such bucket; min() would degenerate to the
+    -- lowest bucket's floor and admit nearly every customer.
+    SELECT coalesce(max(CASE WHEN n_at_or_above >= {_TOPK}
                              THEN power_floor END),
                     cast(0 AS bigint)) AS thr
     FROM (SELECT n_at_or_above,

@@ -50,7 +50,7 @@ from ..operators.similarity import (
     topk_cosine,
     with_norm,
 )
-from ..sources.tables import load_table, maybe_rebalance
+from ..sources.tables import load_table
 from .registry import register
 
 # ---------------------------------------------------------------------------

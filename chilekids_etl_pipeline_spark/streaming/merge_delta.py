@@ -102,49 +102,61 @@ def merge_upsert_batch_delta(
         # confs are session-GLOBAL, so the whole set → MERGE → unset
         # section holds _TXN_CONF_LOCK: concurrent sinks in one session
         # serialize instead of committing under each other's identity.
-        _TXN_CONF_LOCK.acquire()
-        spark.conf.set("spark.databricks.delta.write.txnAppId", sink_id)
-        spark.conf.set(
-            "spark.databricks.delta.write.txnVersion", str(int(batch_id))
-        )
-        try:
-            import os
+        # `with` (not manual acquire/release) so a conf.set raising — e.g.
+        # on a stopped session — can't leak the process-wide lock and
+        # deadlock every other Delta sink's next micro-batch.
+        with _TXN_CONF_LOCK:
+            try:
+                spark.conf.set(
+                    "spark.databricks.delta.write.txnAppId", sink_id
+                )
+                spark.conf.set(
+                    "spark.databricks.delta.write.txnVersion",
+                    str(int(batch_id)),
+                )
+                import os
 
-            is_delta = os.path.exists(
-                os.path.join(target_path, "_delta_log")
-            )
-            if os.path.exists(target_path) and not is_delta and os.listdir(
-                target_path
-            ):
-                # an existing parquet-swap target: creating a fresh Delta
-                # table here would orphan every previously upserted row
-                # (the new log references none of the old files)
-                raise RuntimeError(
-                    f"{target_path} holds a non-Delta table; migrate it "
-                    "explicitly (read parquet, write delta) before "
-                    "switching the sink to MERGE"
+                is_delta = os.path.exists(
+                    os.path.join(target_path, "_delta_log")
                 )
-            if not is_delta:
-                deduped.write.format("delta").mode("overwrite").save(
-                    target_path
+                if os.path.exists(target_path) and not is_delta and (
+                    os.listdir(target_path)
+                ):
+                    # an existing parquet-swap target: creating a fresh
+                    # Delta table here would orphan every previously
+                    # upserted row (the new log references none of the
+                    # old files)
+                    raise RuntimeError(
+                        f"{target_path} holds a non-Delta table; migrate "
+                        "it explicitly (read parquet, write delta) before "
+                        "switching the sink to MERGE"
+                    )
+                if not is_delta:
+                    deduped.write.format("delta").mode("overwrite").save(
+                        target_path
+                    )
+                    return
+                deduped.createOrReplaceTempView("_merge_updates")
+                set_cols = ", ".join(
+                    f"t.{c} = s.{c}" for c in deduped.columns if c != key_col
                 )
-                return
-            deduped.createOrReplaceTempView("_merge_updates")
-            set_cols = ", ".join(
-                f"t.{c} = s.{c}" for c in deduped.columns if c != key_col
-            )
-            spark.sql(
-                f"""
-                MERGE INTO delta.`{target_path}` t
-                USING _merge_updates s
-                ON t.{key_col} = s.{key_col}
-                WHEN MATCHED THEN UPDATE SET {set_cols}
-                WHEN NOT MATCHED THEN INSERT *
-                """
-            )
-        finally:
-            spark.conf.unset("spark.databricks.delta.write.txnAppId")
-            spark.conf.unset("spark.databricks.delta.write.txnVersion")
-            _TXN_CONF_LOCK.release()
+                spark.sql(
+                    f"""
+                    MERGE INTO delta.`{target_path}` t
+                    USING _merge_updates s
+                    ON t.{key_col} = s.{key_col}
+                    WHEN MATCHED THEN UPDATE SET {set_cols}
+                    WHEN NOT MATCHED THEN INSERT *
+                    """
+                )
+            finally:
+                for conf in (
+                    "spark.databricks.delta.write.txnAppId",
+                    "spark.databricks.delta.write.txnVersion",
+                ):
+                    try:
+                        spark.conf.unset(conf)
+                    except Exception:
+                        pass  # stopped session: nothing to unset
 
     return _merge

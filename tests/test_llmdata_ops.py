@@ -72,6 +72,30 @@ def test_topk_cosine_orders_by_similarity(spark):
     assert got == [(2, 1), (3, 2)]
 
 
+def test_topk_cosine_empty_query_side_returns_empty(spark):
+    """An empty probe set is a no-op, not a numpy AxisError (r6 advisor)."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    got = topk_cosine(df.filter(F.col("vec_id") > 99), df, k=2)
+    assert got.collect() == []
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cosine",
+    ]
+
+
+def test_topk_cosine_preserves_id_type(spark):
+    """Non-bigint id columns must survive the Arrow boundary — the schema
+    is derived from the inputs, not hardcoded long (r6 advisor)."""
+    rows = [("a", [1.0, 0.0]), ("b", [1.0, 0.1]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, vec array<double>")
+    q = df.filter(F.col("vec_id") == "a")
+    out = topk_cosine(q, df, k=2)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    got = [(r.neighbor_id, r.rank) for r in out.collect()]
+    assert got == [("b", 1), ("c", 2)]
+
+
 def test_topk_cosine_refuses_oversized_query_side(spark):
     """The exact baseline broadcasts its query side; beyond the bound it
     must refuse with a pointer to the ANN paths, not plan a broadcast that

@@ -880,6 +880,46 @@ def test_topk_threshold_matches_global_sort(con):
     assert list(d.sort_values("rk").o_custkey) == list(naive.o_custkey)
 
 
+def test_topk_threshold_actually_prunes(con):
+    """The msb-histogram threshold must admit a candidate slice that is
+    k plus at most one bucket's worth — NOT the whole customer set (the
+    r6 advisor caught min() degenerating to the lowest bucket's floor,
+    which made phase 2 a full global sort)."""
+    from chilekids_etl_pipeline_spark.plans.analytics11 import (
+        _TOPK, _topk_sql,
+    )
+
+    sql = _topk_sql("duckdb")
+    tail = f"SELECT rk, o_custkey, rev_cents\nFROM ranked WHERE rk <= {_TOPK}"
+    assert tail in sql
+    cand_sql = sql.replace(
+        tail, "SELECT cast(count(*) AS bigint) AS n FROM candidates"
+    )
+    n_cand = con.execute(cand_sql).fetchone()[0]
+    revs = [
+        r[0]
+        for r in con.execute(
+            "SELECT cast(sum(cast(round(o_totalprice * 100, 0) AS bigint))"
+            " AS bigint) FROM orders GROUP BY o_custkey"
+        ).fetchall()
+    ]
+    # reference rule: floor of the LARGEST msb bucket whose from-the-top
+    # cumulative count reaches k; candidates = rows at or above that floor
+    floors = sorted({1 << (r.bit_length() - 1) for r in revs}, reverse=True)
+    expected = 0
+    for fl in floors:
+        at_or_above = sum(1 for r in revs if r >= fl)
+        if at_or_above >= min(_TOPK, len(revs)):
+            expected = at_or_above
+            break
+    assert n_cand == expected
+    # and the whole point: the slice is a PRUNED candidate set, not the
+    # full customer table (safe: >= k when that many customers exist)
+    assert n_cand >= min(_TOPK, len(revs))
+    if len(revs) > 4 * _TOPK:
+        assert n_cand < len(revs) // 2
+
+
 def test_bloom_fpp_tracks_theory_and_shrinks_with_m(con):
     d = con.execute(_oracle("bloom_fpp_calibration")).fetchdf().sort_values(
         "m_bits"
