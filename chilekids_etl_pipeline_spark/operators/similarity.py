@@ -151,6 +151,146 @@ def topk_cosine(
     )
 
 
+def prefix_top1(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dims: tuple[int, ...],
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    max_probes: int = MAX_BRUTE_FORCE_QUERIES,
+) -> DataFrame:
+    """Per (probe, prefix-dim): the exact top-1 neighbor under BOTH the
+    full-dimension cosine and the prefix-truncated cosine — the inner
+    scan of Matryoshka truncation-fidelity measurement.
+
+    Same execution shape as ``topk_cosine``: the (small, hash-sampled)
+    probe matrix broadcasts, each corpus partition scores all probes
+    with one BLAS matmul per prefix dim (the prefix score is a matmul
+    over the leading ``d`` columns — no per-pair array allocation), and
+    emits one partial top-1 row per (probe, dim); a metadata-scale
+    window merges partials under the same (score desc, id asc) total
+    order the partials were taken in, so the merge is exact.
+
+    Output: (probe_id, d, full_top1, full_top1_cos, pref_top1,
+    pref_top1_cos, pref_top1_full_cos), one row per probe x dim.
+    Cosines are rounded half-away-from-zero to 6 decimals BEFORE
+    ranking, like the DuckDB oracle ranks its rounded values.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    pid_t = probes.schema[id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"probe_id {pid_t}, d int, full_top1 {nid_t}, full_top1_cos double, "
+        f"pref_top1 {nid_t}, pref_top1_cos double, pref_top1_full_cos double"
+    )
+    ppd = (
+        probes.select(F.col(id_col), F.col(vec_col))
+        .limit(max_probes + 1)
+        .toPandas()
+    )
+    if len(ppd) > max_probes:
+        raise ValueError(
+            f"prefix_top1 broadcasts its probe side and must stay <= "
+            f"{max_probes} rows (got more); sample the probe set harder."
+        )
+    if len(ppd) == 0:
+        return spark.createDataFrame([], schema=out_schema)
+    pids = ppd[id_col].to_numpy()
+    pmat = np.array(ppd[vec_col].tolist(), dtype=np.float64)
+    bq = spark.sparkContext.broadcast((pids, pmat))
+    dims_t = tuple(int(d) for d in dims)
+
+    def _round6(x):
+        # half-away-from-zero: matches DuckDB round(x, 6) / F.round
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def _partials(batches):
+        b_pids, b_pmat = bq.value
+        npr = len(b_pids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cids = pdf[id_col].to_numpy()
+            # one matmul per dim over the leading columns; norms per dim
+            per_dim = {}
+            for d in dims_t:
+                cp, pp = cmat[:, :d], b_pmat[:, :d]
+                cn = np.sqrt((cp * cp).sum(axis=1))
+                pn = np.sqrt((pp * pp).sum(axis=1))
+                per_dim[d] = _round6((cp @ pp.T) / np.outer(cn, pn))
+            full_d = cmat.shape[1]
+            cf, pf = cmat, b_pmat
+            cn = np.sqrt((cf * cf).sum(axis=1))
+            pn = np.sqrt((pf * pf).sum(axis=1))
+            s_full = _round6((cf @ pf.T) / np.outer(cn, pn))
+            rows = {
+                "probe_id": [], "d": [], "full_top1": [],
+                "full_top1_cos": [], "pref_top1": [], "pref_top1_cos": [],
+                "pref_top1_full_cos": [],
+            }
+            for j in range(npr):
+                keep = np.nonzero(cids != b_pids[j])[0]
+                if keep.size == 0:
+                    continue
+                # (score desc, cand id asc) — the merge's total order
+                i_full = keep[
+                    np.lexsort((cids[keep], -s_full[keep, j]))[0]
+                ]
+                for d in dims_t:
+                    sd = per_dim[d]
+                    i_pref = keep[
+                        np.lexsort((cids[keep], -sd[keep, j]))[0]
+                    ]
+                    rows["probe_id"].append(b_pids[j])
+                    rows["d"].append(d)
+                    rows["full_top1"].append(cids[i_full])
+                    rows["full_top1_cos"].append(s_full[i_full, j])
+                    rows["pref_top1"].append(cids[i_pref])
+                    rows["pref_top1_cos"].append(sd[i_pref, j])
+                    rows["pref_top1_full_cos"].append(s_full[i_pref, j])
+            if rows["probe_id"]:
+                yield pd.DataFrame(rows)
+
+    partials = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _partials, out_schema
+    )
+    # one shuffle merges both partial top-1s: struct-min under
+    # (-cos, id) is exactly (cos desc, id asc), and the original cos
+    # rides along so no double negation can flip a 0.0 sign bit. Two
+    # window branches would re-run the scoring map once per branch.
+    mf = F.min(
+        F.struct(
+            (-F.col("full_top1_cos")).alias("nc"),
+            F.col("full_top1").alias("id"),
+            F.col("full_top1_cos").alias("cos"),
+        )
+    ).alias("mf")
+    mp = F.min(
+        F.struct(
+            (-F.col("pref_top1_cos")).alias("nc"),
+            F.col("pref_top1").alias("id"),
+            F.col("pref_top1_cos").alias("cos"),
+            F.col("pref_top1_full_cos").alias("fc"),
+        )
+    ).alias("mp")
+    return (
+        partials.groupBy("probe_id", "d")
+        .agg(mf, mp)
+        .select(
+            "probe_id", "d",
+            F.col("mf.id").alias("full_top1"),
+            F.col("mf.cos").alias("full_top1_cos"),
+            F.col("mp.id").alias("pref_top1"),
+            F.col("mp.cos").alias("pref_top1_cos"),
+            F.col("mp.fc").alias("pref_top1_full_cos"),
+        )
+    )
+
+
 def _hyperplane_bits(df: DataFrame, num_planes: int, id_col: str, vec_col: str) -> DataFrame:
     """(id, p, bit) — sign bit of each deterministic Rademacher hyperplane.
 

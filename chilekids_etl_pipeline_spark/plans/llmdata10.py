@@ -343,11 +343,49 @@ def matryoshka_dim_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard two-stage retrieval cost cut. The probe set is a
     deterministic ~1/256 hash sample so probe x corpus work stays
     bounded at any scale; at 100 TB the corpus side would be the ANN
-    index (ann_ivf_cosine), not a scan."""
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
-        "embeddings"
+    index (ann_ivf_cosine), not a scan.
+
+    The probe x corpus scoring runs on the shared mapInPandas BLAS
+    kernel (operators/similarity.py:prefix_top1 — one matmul per
+    prefix dim per Arrow batch, per-partition top-1 partials merged by
+    a metadata-scale window), not per-pair SQL aggregate folds: the
+    fold form allocates an array per scored pair and measured ~4x
+    slower than the oracle at sf0.1; only the tiny per-(probe,dim)
+    agreement/regret arithmetic stays in Catalyst."""
+    from ..operators.similarity import prefix_top1
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x AS double))"
+        ).alias("vec"),
     )
-    return spark.sql(_matryoshka_sql("spark"))
+    probes = emb.filter(
+        F.expr("substr(md5(cast(vec_id AS string)), 1, 2) = '00'")
+    )
+    top1 = prefix_top1(probes, emb, _MATRYOSHKA_DIMS)
+    return (
+        top1.groupBy(F.col("d").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(
+                F.when(F.col("full_top1") == F.col("pref_top1"), 1)
+                .otherwise(0)
+            ).cast("long").alias("top1_agree"),
+            (
+                F.sum(
+                    F.when(F.col("full_top1") == F.col("pref_top1"), 1)
+                    .otherwise(0)
+                ) / F.count("*").cast("double")
+            ).alias("top1_agreement_rate"),
+            F.sum(
+                F.floor(
+                    (F.col("full_top1_cos") - F.col("pref_top1_full_cos"))
+                    * 1000000
+                )
+            ).cast("long").alias("regret_sum_micro"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,38 @@ def test_topk_cosine_preserves_id_type(spark):
     assert got == [("b", 1), ("c", 2)]
 
 
+def test_prefix_top1_full_vs_truncated(spark):
+    """Matryoshka kernel: the full-dim top-1 and the prefix-dim top-1
+    disagree exactly when the discriminating signal lives beyond the
+    prefix, and the prefix pick's FULL cosine is reported for regret."""
+    from chilekids_etl_pipeline_spark.operators.similarity import (
+        prefix_top1,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),       # probe
+        (2, [1.0, 0.0, 0.0, 0.9]),       # same 2-dim prefix, far in full
+        (3, [0.9, 0.1, 0.0, 0.0]),       # true full-dim nearest
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    probes = df.filter(F.col("vec_id") == 1)
+    got = {
+        (r.probe_id, r.d): r
+        for r in prefix_top1(probes, df, (2, 4)).collect()
+    }
+    assert set(got) == {(1, 2), (1, 4)}
+    # full-dim search agrees at every d (it ignores d by construction)
+    assert got[(1, 2)].full_top1 == 3 and got[(1, 4)].full_top1 == 3
+    # at d=2, vec 2 ties vec 1's direction exactly (cos 1.0) and beats 3
+    assert got[(1, 2)].pref_top1 == 2
+    assert got[(1, 2)].pref_top1_cos == 1.0
+    # regret input: vec 2's FULL cosine, lower than vec 3's
+    assert got[(1, 2)].pref_top1_full_cos < got[(1, 2)].full_top1_cos
+    # at full d the truncated search is the full search
+    assert got[(1, 4)].pref_top1 == 3
+    assert got[(1, 4)].pref_top1_cos == got[(1, 4)].full_top1_cos
+
+
 def test_topk_cosine_refuses_oversized_query_side(spark):
     """The exact baseline broadcasts its query side; beyond the bound it
     must refuse with a pointer to the ANN paths, not plan a broadcast that
