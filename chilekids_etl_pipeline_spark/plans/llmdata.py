@@ -50,7 +50,7 @@ from ..operators.similarity import (
     topk_cosine,
     with_norm,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -93,12 +93,13 @@ def _docs_aug_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_TRUNC_SPARK).alias("text"),
         )
     )
-    # NO blanket rebalance here: an A/B at sf0.1 measured the widening
-    # exchange as a net LOSS for the minhash pipeline (1.21 -> 1.80 s;
-    # the signature groupBy immediately re-shuffles anyway) and as noise
-    # at sf1 (20.5 vs 21.8 s) — the shingle stages are shuffle-bound,
-    # not scan-bound, unlike the persisted-grams plans that do widen.
-    return docs.unionByName(planted)
+    # Rebalance (gated: no-op off local[...]): once the array-intersect
+    # verify removed the old shuffle wall, the shingle explode became
+    # scan-bound on the 4-split test parquet — the r7 A/B measured the
+    # widening exchange cutting the sf1 shingle stage 8.3 -> 1.0 s
+    # (pipeline 19 -> 7.5 s) and sf0.1 2.17 -> 1.91 s. The earlier
+    # no-rebalance A/B predated that verify rewrite and no longer holds.
+    return maybe_rebalance(docs.unionByName(planted))
 
 
 # embeddings as double vectors + perturbed copies of every 25th (id + 100000)
