@@ -11,6 +11,23 @@ When the jars ARE present (a lakehouse runtime), the skipped test runs
 the same scenario the parquet-swap suite runs: create-on-first-batch,
 upsert-overwrites-matched-keys, replayed batch is a no-op via Delta's
 txnAppId/txnVersion idempotent writes.
+
+ENVIRONMENT-BLOCKED (verified 2026-08-14, round 7): the sandbox has no
+network route, so the jars cannot be fetched. Install transcript::
+
+    $ python -m pip download delta-spark --no-deps -d /tmp/deltadl
+    WARNING: Retrying ... after connection broken by
+      'NewConnectionError(... Failed to establish a new connection:
+      [Errno -2] Name or service not known)'  (x2)
+    ERROR: Could not find a version that satisfies the requirement
+      delta-spark (from versions: none)
+
+No delta/iceberg jar exists anywhere on the image (``find / -name
+'*delta*jar*'``: only pytest tmpdirs), pyspark's bundled jars dir has
+none, and ``import delta`` raises ModuleNotFoundError. The skip below
+is therefore a runtime property, not a code gap — the MERGE body,
+dispatcher, replay protection, and txn-conf serialization are all
+exercised by the jar-free tests in this module.
 """
 
 from __future__ import annotations
