@@ -200,3 +200,65 @@ def streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(target).drop("_batch_id", "_sink_id")
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events v
+JOIN events p ON p.user_id = v.user_id
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 120 MINUTE
+"""
+
+
+@register("streaming_interval_join_replay", oracle=_INTERVAL_JOIN_ORACLE)
+def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join (streaming/joins.py
+    view_to_purchase_stream — purchases attributed to every preceding
+    view by the same user within a 2 h horizon) replayed through the
+    REAL streaming engine: file source → watermarked two-sided join
+    state → memory sink, availableNow bounded trigger. An INNER
+    stream-stream join emits a pair the moment both sides have arrived,
+    so after a full bounded replay the emitted set must equal the batch
+    interval join the oracle states — watermarks only govern state
+    EVICTION (how long an unmatched view is buffered), never which
+    matches exist. This closes the last tests-only streaming component;
+    the batch as-of twin is asof_view_to_purchase (nearest-1 semantics)
+    and range_join_purchase_errors (the bounded-interval shape)."""
+    from ..streaming.joins import view_to_purchase_stream
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="sij_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .parquet(src_dir)
+        .select("event_id", "ts", "event_type", "user_id", "value")
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    joined = view_to_purchase_stream(raw, horizon_minutes=120)
+
+    name = "streaming_interval_join_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass  # stale view from a previous in-session run
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sij_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "view_id", "view_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )
