@@ -163,6 +163,141 @@ def assign_pks(
     )
 
 
+# --- SheetService.gs identity edition --------------------------------------
+#
+# The reference's second sheet-side script (gas/SheetService.gs:1-156)
+# maintains a UUID primary key + created_at/updated_at/updated_by audit
+# columns: onEdit stamps every touched row and auto-keys new rows;
+# runIdentityAssignment bulk-fills UUIDs for legacy rows. These are the
+# same semantics as pure, idempotent DataFrame transforms. One deliberate
+# difference: GAS mints RANDOM UUIDs (Utilities.getUuid); the engine-side
+# analog derives the UUID from the row's content hash, so re-running the
+# assignment is deterministic and testable — the shape (8-4-4-4-12,
+# version/variant nibbles forced) matches what downstream key validators
+# expect of a v4 UUID.
+
+GS_META_COLS = ("PK", "created_at", "updated_at", "updated_by",
+                "content_hash")  # SheetService.gs CFG headers
+
+
+def _uuid_from_md5(h):
+    """32-hex md5 → UUID-v4-shaped string (version nibble 4, variant 8)."""
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("4"), F.substring(h, 14, 3)),
+        F.concat(F.lit("8"), F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def row_content_hash(df: DataFrame, exclude: tuple[str, ...] = GS_META_COLS):
+    """CFG.hashHeader semantics: md5 over the row's DATA columns (meta
+    columns excluded, names sorted so column order can't flip the hash)."""
+    data_cols = sorted(c for c in df.columns if c not in exclude)
+    return F.md5(F.to_json(F.struct(*[
+        F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+        for c in data_cols
+    ])))
+
+
+def assign_identity(
+    df: DataFrame,
+    pk_col: str = "PK",
+    created_col: str = "created_at",
+    now: str = "",
+    required_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``runIdentityAssignment`` (SheetService.gs:95-150): fill MISSING
+    primary keys with a UUID, stamping ``created_at`` (when that column
+    exists) only on newly keyed rows; existing keys and their created
+    stamps are never touched. Rows failing the required-column fill check
+    stay keyless, like the onEdit validation gate. Raises when the PK
+    column is absent — the script alerts '"PK" не найдена'."""
+    if pk_col not in df.columns:
+        raise KeyError(f"column {pk_col!r} not found")
+    has_pk = F.col(pk_col).isNotNull() & (F.trim(F.col(pk_col)) != "")
+    eligible = F.lit(True)
+    for c in required_cols:
+        eligible = eligible & F.col(c).isNotNull() & (
+            F.trim(F.col(c).cast("string")) != ""
+        )
+    new_key = _uuid_from_md5(row_content_hash(df, GS_META_COLS))
+    # created_at FIRST: has_pk reads the PK column by name, so stamping
+    # after the key fill would see every row as already keyed
+    out = df
+    if created_col in df.columns:
+        out = out.withColumn(
+            created_col,
+            F.when(has_pk | ~eligible, F.col(created_col)).otherwise(
+                F.lit(now)
+            ),
+        )
+    return out.withColumn(
+        pk_col,
+        F.when(has_pk, F.col(pk_col))
+        .when(eligible, new_key)
+        .otherwise(F.col(pk_col)),
+    )
+
+
+def stamp_edit_metadata(
+    df: DataFrame,
+    edited,
+    editor: str = "anonymous",
+    now: str = "",
+    pk_col: str = "PK",
+    created_col: str = "created_at",
+    updated_col: str = "updated_at",
+    updated_by_col: str = "updated_by",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """``onEdit`` (SheetService.gs:40-90) as a pure transform over the
+    edited-row predicate: touched rows get ``updated_at``/``updated_by``
+    (and a refreshed ``content_hash`` when that column exists); a touched
+    row with no PK is auto-keyed and ``created_at``-stamped. A frame
+    without the updated_at column returns UNCHANGED — the script's
+    'no tracking column → exit' early return. ``edited`` is a boolean
+    Column (the range the edit event covered); ``editor`` defaults to
+    the script's anonymous fallback for e-mail-less sessions."""
+    if updated_col not in df.columns:
+        return df
+    out = df.withColumn(
+        updated_col,
+        F.when(edited, F.lit(now)).otherwise(F.col(updated_col)),
+    )
+    if updated_by_col in df.columns:
+        out = out.withColumn(
+            updated_by_col,
+            F.when(edited, F.lit(editor)).otherwise(F.col(updated_by_col)),
+        )
+    if pk_col in df.columns:
+        has_pk = F.col(pk_col).isNotNull() & (F.trim(F.col(pk_col)) != "")
+        new_key = _uuid_from_md5(row_content_hash(df, GS_META_COLS))
+        # created_at BEFORE the key fill: has_pk reads the PK column by
+        # name and would see the freshly minted key otherwise
+        if created_col in df.columns:
+            out = out.withColumn(
+                created_col,
+                F.when(edited & ~has_pk, F.lit(now)).otherwise(
+                    F.col(created_col)
+                ),
+            )
+        out = out.withColumn(
+            pk_col,
+            F.when(edited & ~has_pk, new_key).otherwise(F.col(pk_col)),
+        )
+    if hash_col in df.columns:
+        out = out.withColumn(
+            hash_col,
+            F.when(edited, row_content_hash(df, GS_META_COLS)).otherwise(
+                F.col(hash_col)
+            ),
+        )
+    return out
+
+
 # --- live fetch seam -------------------------------------------------------
 #
 # The reference's fetch (src/sheets.py:16-70) is aiohttp + tenacity

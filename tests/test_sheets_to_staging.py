@@ -104,6 +104,91 @@ def test_change_stamp_synthesis_and_pk_assignment(spark):
     assert new == ["sa_000008", "sa_000009"]  # consecutive after the max
 
 
+def test_sheet_service_identity_assignment(spark):
+    """SheetService.gs runIdentityAssignment parity: missing PKs get a
+    UUID-shaped key (deterministic here, from the row content hash —
+    idempotent where GAS mints random v4s), created_at stamps only on
+    newly keyed rows, existing keys and stamps are untouched, and a
+    missing PK column raises like the script's alert."""
+    import re
+
+    import pytest as _pytest
+
+    from chilekids_etl_pipeline_spark.sources.sheets import assign_identity
+
+    df = spark.createDataFrame(
+        [
+            ("11111111-2222-4333-8444-555555555555", "2024-01-01", "a"),
+            (None, None, "b"),
+            ("", None, "c"),
+        ],
+        "PK string, created_at string, col_a string",
+    )
+    out = assign_identity(df, now="05.02.2024 10:00:00")
+    rows = {r.col_a: r for r in out.collect()}
+    assert rows["a"].PK == "11111111-2222-4333-8444-555555555555"
+    assert rows["a"].created_at == "2024-01-01"  # existing stamp kept
+    uuid_re = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    for k in ("b", "c"):
+        assert uuid_re.match(rows[k].PK), rows[k].PK
+        assert rows[k].created_at == "05.02.2024 10:00:00"
+    assert rows["b"].PK != rows["c"].PK  # content-derived, row-distinct
+    # idempotent: a second pass changes nothing
+    again = {r.col_a: r.PK for r in assign_identity(out, now="x").collect()}
+    assert again == {k: r.PK for k, r in rows.items()}
+    with _pytest.raises(KeyError):
+        assign_identity(df.drop("PK"))
+
+
+def test_sheet_service_on_edit_stamping(spark):
+    """SheetService.gs onEdit parity: edited rows get updated_at/by and a
+    refreshed content_hash; an edited keyless row is auto-keyed +
+    created_at-stamped; untouched rows keep every value; and a frame
+    with no updated_at column passes through unchanged (the script's
+    early return)."""
+    import pyspark.sql.functions as F
+
+    from chilekids_etl_pipeline_spark.sources.sheets import (
+        row_content_hash,
+        stamp_edit_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("k1", "old-created", "old-upd", "old-by", "old-hash", "a", 1),
+            (None, None, "old-upd", "old-by", None, "b", 2),
+            ("k3", "c3", "u3", "by3", "h3", "c", 3),
+        ],
+        "PK string, created_at string, updated_at string, "
+        "updated_by string, content_hash string, col_a string, row int",
+    )
+    out = stamp_edit_metadata(
+        df, edited=F.col("row") <= 2, editor="e@x", now="NOW"
+    )
+    rows = {r.col_a: r for r in out.collect()}
+    assert rows["a"].updated_at == "NOW" and rows["a"].updated_by == "e@x"
+    assert rows["a"].PK == "k1" and rows["a"].created_at == "old-created"
+    expected_hash = {
+        r.col_a: r.h
+        for r in df.select(
+            "col_a", row_content_hash(df).alias("h")
+        ).collect()
+    }
+    assert rows["a"].content_hash == expected_hash["a"]
+    # keyless edited row: auto-keyed + created stamped
+    assert rows["b"].PK and rows["b"].created_at == "NOW"
+    # untouched row: every value survives
+    assert (rows["c"].PK, rows["c"].created_at, rows["c"].updated_at,
+            rows["c"].updated_by, rows["c"].content_hash) == (
+        "k3", "c3", "u3", "by3", "h3")
+    # no tracking column → unchanged frame
+    no_track = df.drop("updated_at")
+    same = stamp_edit_metadata(no_track, edited=F.lit(True), now="NOW")
+    assert same is no_track
+
+
 NOVEL_VALUES = [
     # headers no variant list enumerates: resolvable only via the reference's
     # normalized (lowercase, space-stripped) arbitrary-key fallback
