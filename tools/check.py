@@ -12,6 +12,15 @@ expiry the DuckDB connection is interrupted and all Spark jobs are
 cancelled, the query is recorded as a timeout FAIL, and the sweep
 continues — so one quadratic oracle (the r5 sf1 sweep wedged for 30+
 minutes on an exact all-pairs ground truth) cannot stall the whole run.
+
+Set CHECK_STRATUM=1 (scale sweeps only) to compare SCALE_STRATA queries
+on a deterministic hash stratum applied identically to both engines:
+the predicate wraps the oracle (DuckDB pushes it through the CTE
+projections to the scan) and filters the Spark result. This exists for
+oracle-CAPACITY limits — queries whose Spark side completes at sf1 but
+whose DuckDB twin OOMs materializing the full result (the r6 sweep's
+only red: staging_records' 41-column JSON normalization over 6M rows).
+Full-fidelity comparison stays the default at <= sf0.1.
 """
 
 from __future__ import annotations
@@ -22,6 +31,14 @@ import sys
 
 import duckdb
 import pandas as pd
+
+
+# query -> SQL predicate over its OUTPUT columns, valid in both dialects;
+# 1-in-20 keeps the sf1 stratum ~300k rows (DuckDB fetches it in ~30s
+# where the full 6M-row frame dies)
+SCALE_STRATA = {
+    "staging_records": "l_orderkey % 20 = 0",
+}
 
 
 def canon_df(df: pd.DataFrame) -> pd.DataFrame:
@@ -110,9 +127,17 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        stratum = (
+            SCALE_STRATA.get(name)
+            if os.environ.get("CHECK_STRATUM") == "1"
+            else None
+        )
         with _Watchdog(spark, con, per_query_timeout) as wd:
             try:
-                sdf = fn(spark, sf_dir).toPandas()
+                res = fn(spark, sf_dir)
+                if stratum:
+                    res = res.filter(stratum)
+                sdf = res.toPandas()
             except Exception as e:
                 kind = "timeout" if wd.fired else "spark error"
                 print(f"FAIL {name}: {kind}: {str(e)[:300]}")
@@ -121,8 +146,11 @@ def main() -> int:
             if name not in oracles:
                 print(f"ROWS-ONLY {name}: {len(sdf)} rows")
                 continue
+            osql = oracles[name]
+            if stratum:
+                osql = f"SELECT * FROM ({osql}) q WHERE {stratum}"
             try:
-                odf = con.execute(oracles[name]).fetchdf()
+                odf = con.execute(osql).fetchdf()
             except Exception as e:
                 kind = "timeout" if wd.fired else "oracle error"
                 print(f"FAIL {name}: {kind}: {str(e)[:300]}")
