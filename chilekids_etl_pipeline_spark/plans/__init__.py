@@ -197,6 +197,9 @@ def load_all() -> None:
     # Round-6 batch.
     from . import streamverify, llmdata11, analytics11  # noqa: F401
 
+    # Round-7 batch.
+    from . import llmdata12, analytics12  # noqa: F401
+
     verified = externally_verified()
     ordered = {
         k: QUERIES[k] for k in QUERIES if k not in verified

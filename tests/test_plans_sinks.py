@@ -310,6 +310,13 @@ BNLJ_ALLOWED = {
     # round 6: the df-cap's 1-row corpus-count broadcast against the
     # shingle-frequency table (same containment-df-cap pattern)
     "dedup_ngram_jaccard",
+    # round 7: 1-row scalar broadcasts (token budget, normalization
+    # constant, revenue total) and partition_prune_estimate's 4-row
+    # predicate table against the partition-count-sized zone-map stats
+    "epoch_repeat_plan",
+    "embedding_pca_power",
+    "abc_pareto_class",
+    "partition_prune_estimate",
     # round 4: 1-row scalar broadcasts (total-count / weight-sum /
     # max-doc-id) and semantic_dedup's 8-row centroid table (the IVF
     # coarse-quantizer pattern, same as ann_ivf_cosine)

@@ -934,3 +934,117 @@ def test_bloom_fpp_tracks_theory_and_shrinks_with_m(con):
     for _, r in big.iterrows():
         measured = r.fpp_measured_micro / 1e6
         assert 0.3 * r.fpp_theory < measured < 3 * r.fpp_theory + 1e-4
+
+
+# --- round-7 batch ---------------------------------------------------------
+
+
+def test_fim_spans_partition_the_document(con):
+    d = con.execute(_oracle("fim_split_plan")).fetchdf()
+    # the three spans always reassemble the doc
+    assert (
+        d.prefix_len + d.middle_len + d.suffix_len == d.total_len
+    ).all()
+    assert (d.prefix_len >= 0).all() and (d.middle_len >= 0).all()
+    # ~50% transformed, both orderings present among transformed docs
+    rate = d.fim_applied.mean()
+    assert 0.35 < rate < 0.65
+    assert set(d[d.fim_applied]["mode"]) == {"psm", "spm"}
+    # untransformed docs are pure causal: whole doc is "prefix"
+    plain = d[~d.fim_applied]
+    assert (plain.prefix_len == plain.total_len).all()
+    assert (plain["mode"] == "none").all()
+
+
+def test_chat_validation_flags_planted_violations(con):
+    d = con.execute(_oracle("chat_turn_validate")).fetchdf()
+    # complete conversations (all 4 turns survived) are trainable
+    full = d[d.n_turns == 4]
+    assert len(full) > 0
+    assert full.starts_user.all() and full.ends_assistant.all()
+    assert (full.n_role_repeats == 0).all()
+    # every 7th doc was dropped => some conversations are short, and a
+    # dropped middle turn creates a same-role adjacency somewhere
+    assert (d.n_turns < 4).any()
+    assert (d.n_role_repeats > 0).any()
+    assert (d.n_turns_in_budget <= d.n_turns).all()
+
+
+def test_epoch_allocation_respects_budget_and_decay(con):
+    from chilekids_etl_pipeline_spark.plans.llmdata12 import (
+        _BUDGET_NUM, _EPOCH_MAX,
+    )
+
+    d = con.execute(_oracle("epoch_repeat_plan")).fetchdf()
+    budget = _BUDGET_NUM * d.unique_tokens.sum()
+    assert d.tokens_used.sum() <= budget
+    assert (d.epochs >= 1).all() and (d.epochs <= _EPOCH_MAX).all()
+    # tightness: the allocation isn't leaving a whole source-epoch of
+    # headroom for the smallest source
+    assert d.tokens_used.sum() + d.unique_tokens.min() > budget * 0.9
+    # value accounting: epochs e of source u is worth sum_k u >> k
+    for _, r in d.iterrows():
+        expect = sum(int(r.unique_tokens) >> k for k in range(int(r.epochs)))
+        assert r.effective_value == expect
+    assert (d.tokens_used == d.epochs * d.unique_tokens).all()
+
+
+def test_pca_power_step_is_unit_normalized_and_nontrivial(con):
+    d = con.execute(_oracle("embedding_pca_power")).fetchdf()
+    assert len(d) == 64
+    sq = (d.component ** 2).sum()
+    assert 0.999 < sq < 1.001
+    assert (d.s_micro != 0).any()
+    assert d.component.abs().max() <= 1.0
+
+
+def test_dhash_finds_planted_copies_and_only_near(con):
+    d = con.execute(_oracle("image_dhash_dedup")).fetchdf()
+    assert (d.hamming <= 3).all()
+    # every planted copy pair (id, id+100000) collides at distance 0
+    imgs = con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 = 0"
+    ).fetchdf()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in d.itertuples()}
+    for i in imgs.doc_id:
+        assert pairs.get((i, i + 100000)) == 0, i
+
+
+def test_decile_lift_gains_accumulate_to_one(con):
+    d = con.execute(_oracle("decile_lift_table")).fetchdf().sort_values(
+        "decile"
+    )
+    assert list(d.decile) == list(range(10))
+    assert d.cum_gain_micro.is_monotonic_increasing
+    assert d.cum_gain_micro.iloc[-1] == 1_000_000
+    n_cust = con.execute(
+        "SELECT count(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert d.n_customers.sum() == n_cust
+    # spend boundaries are decreasing: decile 0 is the top spenders
+    assert d.spend_lo_cents.iloc[0] >= d.spend_hi_cents.iloc[-1]
+
+
+def test_zone_map_pruning_brackets_the_domain(con):
+    d = con.execute(_oracle("partition_prune_estimate")).fetchdf()
+    by_pred = {(r.lo, r.hi): r for r in d.itertuples()}
+    # (60, 99) is outside l_quantity's 1..50 domain: everything prunes
+    out = by_pred[(60, 99)]
+    assert out.n_pruned == out.n_partitions and out.scan_frac_micro == 0
+    # (1, 10) overlaps every month's zone: nothing prunes
+    full = by_pred[(1, 10)]
+    assert full.n_pruned == 0 and full.scan_frac_micro == 1_000_000
+    assert (d.rows_scanned <= d.rows_total).all()
+    assert d.rows_total.nunique() == 1
+
+
+def test_abc_classes_follow_pareto_cuts(con):
+    d = con.execute(_oracle("abc_pareto_class")).fetchdf()
+    by = {r.abc_class: r for r in d.itertuples()}
+    assert set(by) == {"A", "B", "C"}
+    assert by["A"].rev_cents > by["B"].rev_cents > by["C"].rev_cents
+    total_share = d.rev_share_micro.sum()
+    assert 999_990 <= total_share <= 1_000_000
+    # the cuts: A holds >= 80% of revenue minus one value-bucket of slack
+    assert by["A"].rev_share_micro >= 700_000
+    assert by["C"].rev_share_micro <= 80_000
