@@ -198,7 +198,7 @@ def load_all() -> None:
     from . import streamverify, llmdata11, analytics11  # noqa: F401
 
     # Round-7 batch.
-    from . import llmdata12, analytics12  # noqa: F401
+    from . import llmdata12, analytics12, llmdata13, analytics13  # noqa: F401
 
     verified = externally_verified()
     ordered = {

@@ -262,3 +262,130 @@ def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id", "view_id", "view_ts",
         "purchase_id", "purchase_ts", "purchase_value",
     )
+
+
+_CORPUS_DEDUP_ORACLE = """
+SELECT d.doc_id, md5(d.text) AS h
+FROM documents d
+WHERE md5(d.text) NOT IN (
+    SELECT md5(text) FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+
+@register("streaming_corpus_dedup_replay", oracle=_CORPUS_DEDUP_ORACLE)
+def streaming_corpus_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static corpus dedup gate (streaming/dedup.py
+    dedup_stream_against_corpus — the daily-ingest shape: arriving docs
+    left-anti join the corpus signature table) replayed through the REAL
+    streaming engine: file source → stream-static anti join → memory
+    sink, availableNow bounded trigger. The static side is the
+    signature reduction of every 3rd document, so the emitted survivors
+    must be exactly the batch anti join the oracle states — a
+    stream-static anti join keeps no streaming state at all (the
+    signature table IS the state), which is why its replay is
+    deterministic under any batching. Closes the last tests-only
+    streaming component; the batch twin is dedup_incremental_batch."""
+    from ..streaming.dedup import corpus_signatures, dedup_stream_against_corpus
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    signatures = corpus_signatures(
+        batch.filter(F.col("doc_id") % 3 == 0)
+    )
+    src_dir = tempfile.mkdtemp(prefix="scd_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select("doc_id", "text")
+    )
+    kept = dedup_stream_against_corpus(stream, signatures)
+
+    name = "streaming_corpus_dedup_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass  # stale view from a previous in-session run
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="scd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("doc_id", "h")
+
+
+_KEYED_DEDUP_ORACLE = """
+SELECT event_id, ts, event_type, user_id, value FROM events
+"""
+
+
+@register("streaming_keyed_dedup_replay", oracle=_KEYED_DEDUP_ORACLE)
+def streaming_keyed_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` exercised cross-micro-batch
+    through the real state store: batch 1 streams the events table,
+    batch 2 replays byte-identical COPIES of every event in the last 30
+    minutes of stream time — the Kafka-redelivery shape keyed-ingestion
+    dedup exists for. After batch 1 the watermark sits 1 h behind the
+    max event time, so every replayed key's state (30 min old at most)
+    is still live and each copy is dropped; the result must be exactly
+    one row per event_id. Determinism is by construction: the duplicate
+    rows are identical in every projected column, so WHICH copy the
+    state store keeps cannot show in the output (the arrival-order
+    caveat that keeps content-hash dedup out of the gate — see
+    streaming_upsert_replay — does not apply to keyed replay)."""
+    import shutil
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    dup = ev.filter(
+        F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTE")
+    )
+    work = tempfile.mkdtemp(prefix="skd_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    for stem, df, mtime in (("a_orig", ev, 1000), ("b_dup", dup, 2000)):
+        stage = os.path.join(work, f"stage_{stem}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"{stem}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+    name = "streaming_keyed_dedup_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass  # stale view from a previous in-session run
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )

@@ -386,6 +386,10 @@ BNLJ_ALLOWED = {
     # FPP sweep's 1-row word-array / 3-row salt-index broadcasts
     "revenue_topk_threshold",
     "bloom_fpp_calibration",
+    # batch 13: the sketch-pair enumeration joins the |segments|-row
+    # theta summary to itself (5 x 5 on a constant key + inequality —
+    # the sketch table is k x |segments| rows by construction)
+    "theta_sketch_set_ops",
 }
 
 

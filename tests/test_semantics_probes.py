@@ -1048,3 +1048,123 @@ def test_abc_classes_follow_pareto_cuts(con):
     # the cuts: A holds >= 80% of revenue minus one value-bucket of slack
     assert by["A"].rev_share_micro >= 700_000
     assert by["C"].rev_share_micro <= 80_000
+
+
+def test_grpo_advantages_standardize_within_group(con):
+    d = con.execute(_oracle("grpo_advantage_plan")).fetchdf()
+    # each group's advantages sum to ~0 (floor-rounding slack: 1 micro
+    # per sample), and real spread exists somewhere
+    sums = d.groupby("prompt_id").adv_micro.sum()
+    ns = d.groupby("prompt_id").doc_id.count()
+    assert (sums.abs() <= ns).all()
+    assert d.adv_micro.abs().max() > 500_000
+    # clip flag is literally |adv| > 2 sigma
+    assert (d.clipped == (d.adv_micro.abs() > 2_000_000)).all()
+    # population-standardized: per-group second moment ~ n (micros^2)
+    g = d.groupby("prompt_id")
+    ss = (d.adv_micro.astype(float) / 1e6) ** 2
+    ratio = ss.groupby(d.prompt_id).sum() / g.doc_id.count()
+    spread = ratio[g.doc_id.count() > 1]
+    assert 0.9 < spread.mean() < 1.1
+
+
+def test_weighted_sample_is_length_biased(con):
+    d = con.execute(_oracle("weighted_sample_topk")).fetchdf()
+    assert len(d) == 100
+    assert sorted(d.sample_rank) == list(range(1, 101))
+    assert d.doc_id.is_unique
+    corpus_mean = con.execute(
+        "SELECT avg(n_chars) FROM documents"
+    ).fetchone()[0]
+    # selection proportional to length -> the sample's mean weight beats
+    # the corpus mean by a clear margin
+    assert d.w.mean() > corpus_mean * 1.05
+
+
+def test_doremi_step_shifts_weight_toward_excess_loss(con):
+    d = con.execute(_oracle("doremi_reweight_step")).fetchdf()
+    assert len(d) == d.source.nunique()
+    # normalized within floor slack
+    assert 1_000_000 - len(d) <= d.weight_after_micro.sum() <= 1_000_000
+    assert (d.loc[d.excess_micro == 0, "factor_micro"] == 1_000_000).all()
+    # multiplicative weights: the highest-excess domain gains the most
+    # relative to its token share
+    ratio = d.weight_after_micro / d.weight_before_micro.clip(lower=1)
+    assert ratio.idxmax() == d.excess_micro.idxmax()
+    assert d.excess_micro.max() > 0  # the synthetic losses do separate
+
+
+def test_theta_sketch_estimates_track_exact_overlap(con):
+    d = con.execute(_oracle("theta_sketch_set_ops")).fetchdf()
+    n_types = con.execute(
+        "SELECT count(DISTINCT event_type) FROM events"
+    ).fetchone()[0]
+    assert len(d) == n_types * (n_types - 1) // 2
+    assert (d.est_union_micro >= d.est_inter_micro).all()
+    assert d.jaccard_micro.between(0, 1_000_000).all()
+    exact = con.execute("""
+        WITH ud AS (
+            SELECT DISTINCT event_type,
+                   user_id || ':' || cast(cast(ts AS date) AS varchar)
+                       AS uday
+            FROM events
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS inter
+        FROM ud a JOIN ud b
+          ON b.uday = a.uday AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """).fetchdf()
+    m = d.merge(exact, on=["type_a", "type_b"], how="left").fillna(
+        {"inter": 0}
+    )
+    assert len(m) == len(d)
+    # the sketched segments are NOT identical sets: jaccard discriminates
+    assert d.jaccard_micro.min() < 900_000
+    # k=64 KMV: relative error ~ 1/sqrt(k); assert the union estimate
+    # tracks exact union cardinality within a 2x band on every pair
+    exact_union = con.execute("""
+        WITH ud AS (
+            SELECT DISTINCT event_type,
+                   user_id || ':' || cast(cast(ts AS date) AS varchar)
+                       AS uday
+            FROM events
+        ), t AS (SELECT DISTINCT event_type, 1 AS one FROM ud)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(DISTINCT u.uday) AS uni
+        FROM t a JOIN t b ON a.one = b.one AND a.event_type < b.event_type
+        JOIN ud u ON u.event_type IN (a.event_type, b.event_type)
+        GROUP BY 1, 2
+    """).fetchdf()
+    mu = d.merge(exact_union, on=["type_a", "type_b"])
+    assert len(mu) == len(d)
+    est_u = mu.est_union_micro / 1e6
+    assert ((est_u >= mu.uni * 0.5) & (est_u <= mu.uni * 2.0)).all()
+
+
+def test_benford_flags_uniform_prices(con):
+    d = con.execute(_oracle("benford_digit_screen")).fetchdf()
+    # 9 digit rows per segment, obs partitions the segment
+    assert (d.groupby("segment").digit.count() == 9).all()
+    per_seg = d.groupby("segment").agg(
+        n=("n_orders", "max"), tot=("obs", "sum")
+    )
+    assert (per_seg.n == per_seg.tot).all()
+    # TPC-H prices are uniform, not logarithmic: every segment violates
+    assert d.benford_violation.all()
+    assert (d.chi2_micro > 15_507_000).all()
+    # the generated prices are far from logarithmic: the statistic is
+    # not borderline but decisive (>= 5x the critical value)
+    assert (d.chi2_micro > 5 * 15_507_000).all()
+
+
+def test_corpus_dedup_gate_drops_exactly_the_corpus(con):
+    d = con.execute(_oracle("streaming_corpus_dedup_replay")).fetchdf()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(d) < n_docs
+    corpus_ids = {
+        r[0] for r in con.execute(
+            "SELECT doc_id FROM documents WHERE doc_id % 3 = 0"
+        ).fetchall()
+    }
+    assert not (set(d.doc_id) & corpus_ids)
