@@ -197,7 +197,8 @@ def load_all() -> None:
     # Round-6 batch.
     from . import streamverify, llmdata11, analytics11  # noqa: F401
 
-    # Round-7 batch.
+    # Round-7 batch. streamverify (above) also registers the round-7
+    # replay gates for the sketch and quality-gate streaming modules.
     from . import llmdata12, analytics12, llmdata13, analytics13  # noqa: F401
 
     verified = externally_verified()

@@ -389,3 +389,222 @@ def streaming_keyed_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "ts", "event_type", "user_id", "value"
     )
+
+
+def _hll_oracle() -> str:
+    from .analytics5 import _hll_sql
+
+    return _hll_sql("duckdb")
+
+
+@register("streaming_hll_replay", oracle=_hll_oracle)
+def streaming_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuously-maintained HLL register table
+    (streaming/sketches.py hll_register_updates) run as a REAL streaming
+    aggregation — file source → groupBy max(rho) state → memory sink in
+    complete mode, availableNow — then reduced to per-group estimates.
+    The register is a MAX (associative, commutative, idempotent), so the
+    streamed register table must equal the batch one under ANY batching;
+    the oracle is therefore the batch hll_distinct_portable SQL
+    verbatim, and a hash-identical row proves the streaming state path
+    maintains bit-identical sketch state. State is bounded at m=256
+    registers per group forever — the property that lets this run on an
+    unbounded stream where exact COUNT DISTINCT state could not."""
+    from ..streaming.sketches import hll_estimate, hll_register_updates
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="shll_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select("event_type", "user_id")
+    )
+    regs = hll_register_updates(stream)
+
+    name = "streaming_hll_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass  # stale view from a previous in-session run
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="shll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    est = hll_estimate(spark.table(name))
+    exact = batch.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_present", "hll_estimate",
+        (F.abs(F.col("hll_estimate") - F.col("n_exact"))
+         / F.col("n_exact").cast("double")).alias("rel_error"),
+    )
+
+
+def _cms_oracle() -> str:
+    from .llmdata6 import _cms_sql
+
+    return _cms_sql("duckdb")
+
+
+@register("streaming_cms_replay", oracle=_cms_oracle)
+def streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min cell table (streaming/sketches.py cms_cell_updates)
+    run as a REAL streaming aggregation over the document stream —
+    explode to terms, d-row salt, per-cell SUM state, complete-mode
+    memory sink, availableNow — then probed batch-side with the exact
+    top-20 terms, mirroring heavy_hitters_cms. A CMS cell is a SUM
+    (associative, commutative), so the streamed d×w state must equal the
+    batch sketch under any batching, and the oracle is the batch entry's
+    SQL verbatim — the min-over-rows probe, true counts, and overcounts
+    must all hash-match. Bounded d×w state on an unbounded stream is the
+    whole point; the probe side runs on the tiny sketch."""
+    from ..functions.text import words_sql
+    from ..streaming.sketches import cms_probe, cms_cell_updates
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = tempfile.mkdtemp(prefix="scms_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select("text")
+    )
+    cells = cms_cell_updates(stream)
+
+    name = "streaming_cms_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass  # stale view from a previous in-session run
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="scms_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = (
+        batch.selectExpr(f"explode({words_sql('spark')}) AS term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = (
+        counts.orderBy(F.col("c").desc(), "term").limit(20)
+    )
+    probed = cms_probe(spark.table(name), top.select("term"))
+    return top.join(probed, "term").select(
+        "term",
+        F.col("c").alias("true_count"),
+        F.col("cms_estimate"),
+        (F.col("cms_estimate") - F.col("c")).alias("overcount"),
+    )
+
+
+_GATE_ORACLE = """
+WITH flags AS (
+    SELECT value > 300 AS v_cap,
+           event_type NOT IN ('click', 'view', 'purchase', 'signup')
+               AS v_type,
+           value <= 0 AS v_pos
+    FROM events
+),
+audit AS (
+    SELECT 'value_cap' AS check_name,
+           cast(count(*) AS bigint) AS n_checked,
+           cast(sum(CASE WHEN v_cap THEN 1 ELSE 0 END) AS bigint)
+               AS n_violations
+    FROM flags
+    UNION ALL
+    SELECT 'known_type', cast(count(*) AS bigint),
+           cast(sum(CASE WHEN v_type THEN 1 ELSE 0 END) AS bigint)
+    FROM flags
+    UNION ALL
+    SELECT 'value_positive', cast(count(*) AS bigint),
+           cast(sum(CASE WHEN v_pos THEN 1 ELSE 0 END) AS bigint)
+    FROM flags
+),
+split AS (
+    SELECT cast(sum(CASE WHEN NOT (v_cap OR v_type OR v_pos) THEN 1
+                         ELSE 0 END) AS bigint) AS n_good,
+           cast(sum(CASE WHEN v_cap OR v_type OR v_pos THEN 1
+                         ELSE 0 END) AS bigint) AS n_quarantined
+    FROM flags
+)
+SELECT a.check_name, a.n_checked, a.n_violations,
+       a.n_violations = 0 AS passed, s.n_good, s.n_quarantined
+FROM audit a CROSS JOIN split s
+"""
+
+
+@register("streaming_quality_gate_replay", oracle=_GATE_ORACLE)
+def streaming_quality_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous data-quality gate (streaming/quality_gate.py
+    start_quality_gate — per-micro-batch expectation checks with
+    row-level quarantine routing via foreachBatch) replayed through the
+    real engine over a single-file availableNow source: three named
+    expectations (a value cap that genuinely fires on the tail, a
+    known-type list that quarantines 'error' events, and a positivity
+    check that passes — the audit must show both outcomes), good and
+    quarantined rows appended to parquet dirs, one audit row per check.
+    The result joins the audit with the ROUTED COUNTS read back from the
+    written directories, so a hash-identical row proves the row-level
+    split and the aggregate audit agree with the batch SQL the oracle
+    states. Single-batch replay by construction (one source file), which
+    is what makes the per-batch audit deterministic."""
+    from ..streaming.quality_gate import start_quality_gate
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="sqg_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select("event_id", "event_type", "value")
+    )
+    checks = [
+        ("value_cap", F.col("value") > 300),
+        (
+            "known_type",
+            ~F.col("event_type").isin("click", "view", "purchase", "signup"),
+        ),
+        ("value_positive", F.col("value") <= 0),
+    ]
+    work = tempfile.mkdtemp(prefix="sqg_out_")
+    good_dir = os.path.join(work, "good")
+    quarantine_dir = os.path.join(work, "quarantine")
+    audit_dir = os.path.join(work, "audit")
+    q = start_quality_gate(
+        stream,
+        checks,
+        good_dir,
+        quarantine_dir,
+        audit_dir,
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    audit = spark.read.parquet(audit_dir).drop("_batch_id")
+    n_good = spark.read.parquet(good_dir).count()
+    n_quarantined = spark.read.parquet(quarantine_dir).count()
+    return audit.select(
+        "check_name", "n_checked", "n_violations", "passed",
+        F.lit(n_good).cast("bigint").alias("n_good"),
+        F.lit(n_quarantined).cast("bigint").alias("n_quarantined"),
+    )

@@ -1168,3 +1168,18 @@ def test_corpus_dedup_gate_drops_exactly_the_corpus(con):
         ).fetchall()
     }
     assert not (set(d.doc_id) & corpus_ids)
+
+
+def test_quality_gate_audit_has_mixed_outcomes(con):
+    d = con.execute(_oracle("streaming_quality_gate_replay")).fetchdf()
+    assert set(d.check_name) == {"value_cap", "known_type",
+                                 "value_positive"}
+    by = {r.check_name: r for r in d.itertuples()}
+    # the type list genuinely quarantines, the positivity check passes
+    assert by["known_type"].n_violations > 0
+    assert by["value_positive"].n_violations == 0 and bool(
+        by["value_positive"].passed
+    )
+    assert d.n_checked.nunique() == 1
+    # routing identity: good + quarantined == checked
+    assert (d.n_good + d.n_quarantined == d.n_checked).all()
