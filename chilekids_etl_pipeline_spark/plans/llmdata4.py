@@ -189,7 +189,17 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: semantic near-dup removal within IVF cells
 
 _SEM_THRESHOLD = 0.98
-_SEM_K = 32  # coarse cells (52k vectors at sf0.1 -> ~1.6k/cell; pair work scales 1/K)
+# Coarse cell count grows as sqrt(n)/2 with a floor of 32 — the IVF
+# balance rule: assignment work is n*K and within-cell pair work is
+# n^2/K, so K ~ sqrt(n) keeps BOTH at n^1.5 instead of letting a fixed
+# K turn the pair side quadratic (measured: fixed K=32 went 1.27 s at
+# sf0.1 -> 55.9 s at sf1 for 10x the vectors). Unchanged (floor) at
+# <= sf0.1, so only larger scales re-plan.
+_SEM_MIN_K = 32
+_SEM_K_SQL = (
+    "greatest(32, cast(floor(sqrt(cast(count(*) AS double)) / 2) "
+    "AS bigint))"
+)
 
 
 def _sem_exprs(dialect: str) -> tuple[str, str, str, str]:
@@ -228,6 +238,28 @@ SELECT vec_id, v, {nrm} AS nrm FROM withdups
 """
 
 
+def _sem_cells_sql(dialect: str, norms_src: str) -> str:
+    """Assignment only: (vec_id, centroid_id) — the Spark side runs the
+    within-cell pairwise scoring in a per-cell BLAS kernel instead of
+    the SQL self-join (see semantic_dedup docstring)."""
+    _, _, dot, _ = _sem_exprs(dialect)
+    return f"""
+WITH norms AS (SELECT vec_id, v, nrm FROM {norms_src}),
+kk AS (SELECT {_SEM_K_SQL} AS k FROM norms),
+cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         FROM norms CROSS JOIN kk WHERE vec_id < kk.k),
+assign AS (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY round({dot.format(a='v', b='cv')} / (nrm * cnrm), 6) DESC,
+                        centroid_id) AS crank
+    FROM norms CROSS JOIN cent
+)
+SELECT vec_id, centroid_id FROM assign WHERE crank = 1
+"""
+
+
 def _semdedup_sql(dialect: str, norms_src: str | None = None) -> str:
     vec, planted, dot, nrm = _sem_exprs(dialect)
     # norms_src lets the Spark side substitute a persisted norm table:
@@ -248,8 +280,9 @@ withdups AS (
     FROM base WHERE vec_id % 25 = 0
 ),
 norms AS ({norms_body}),
+kk AS (SELECT {_SEM_K_SQL} AS k FROM norms),
 cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-         FROM norms WHERE vec_id < {_SEM_K}),
+         FROM norms CROSS JOIN kk WHERE vec_id < kk.k),
 assign AS (
     SELECT vec_id, centroid_id,
            row_number() OVER (
@@ -285,14 +318,74 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cell self-join shuffles once on centroid_id.
 
     Perf: the (vec_id, v, nrm) table persists once — the norms CTE is
-    referenced four times and inlining re-derived the vector transforms
-    each time; K=32 coarse cells (was 8) keeps pair work at ~1/K of
-    all-pairs, the SemDeDup cells-grow-with-corpus rule (2.1 → 1.5 s
-    at sf0.1)."""
+    referenced repeatedly and inlining re-derived the vector transforms
+    each time. K grows as sqrt(n)/2 (floor 32) per the IVF balance rule
+    — a FIXED K makes within-cell pair work quadratic in the corpus
+    (measured: 1.27 s at sf0.1 → 55.9 s at sf1), sqrt-K keeps both
+    assignment and pair work at n^1.5 with bounded cell sizes. The
+    within-cell scoring itself runs as a per-cell applyInPandas BLAS
+    matmul (vectors shuffle ONCE per cell, never per pair — the SQL
+    self-join shipped two 64-dim arrays per candidate pair and that
+    shuffle was the sf1 wall), with cosines rounded half-away-from-zero
+    to 6 decimals exactly like the oracle's fold. At extreme scale the
+    assignment side shards further via the ANN paths
+    (operators/similarity.py); the oracle keeps the identical-semantics
+    SQL self-join form."""
+    import numpy as np
+    import pandas as pd
+
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     norms = spark.sql(_sem_norms_sql("spark"))
     norms.persist().createOrReplaceTempView("sem_norms_mat")
-    return spark.sql(_semdedup_sql("spark", norms_src="sem_norms_mat"))
+    cells = spark.sql(_sem_cells_sql("spark", norms_src="sem_norms_mat"))
+    cellvecs = norms.join(cells, "vec_id")
+    thr = _SEM_THRESHOLD
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kept_id": pd.Series([], dtype="int64"),
+                "removed_id": pd.Series([], dtype="int64"),
+                "centroid_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _empty_pairs()
+        pdf = pdf.sort_values("vec_id")  # i < j positions = id order
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        raw = (mat @ mat.T) / np.outer(nr, nr)
+        # HALF-AWAY-FROM-ZERO like F.round / DuckDB round (np.round is
+        # half-to-even)
+        s = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+        iu, ju = np.nonzero(np.triu(s >= thr, 1))
+        if iu.size == 0:
+            return _empty_pairs()
+        return pd.DataFrame(
+            {
+                "kept_id": ids[iu],
+                "removed_id": ids[ju],
+                "centroid_id": np.full(
+                    iu.size, pdf["centroid_id"].iloc[0], dtype="int64"
+                ),
+                "cosine": s[iu, ju],
+            }
+        )
+
+    pairs = cellvecs.groupBy("centroid_id").applyInPandas(
+        _cell_pairs,
+        "kept_id bigint, removed_id bigint, centroid_id bigint, "
+        "cosine double",
+    )
+    return pairs.groupBy("removed_id").agg(
+        F.min("kept_id").alias("kept_id"),
+        F.min("centroid_id").alias("cell"),
+        F.max("cosine").alias("cosine"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -390,6 +390,12 @@ BNLJ_ALLOWED = {
     # theta summary to itself (5 x 5 on a constant key + inequality —
     # the sketch table is k x |segments| rows by construction)
     "theta_sketch_set_ops",
+    # batch 14: 1-row scalar broadcasts (bigram type count, corpus
+    # total weight) and conformal's 3-row alpha-grid / threshold
+    # broadcasts against the histogram and eval scans
+    "kneser_ney_bigram",
+    "importance_weighted_stats",
+    "conformal_threshold_calibration",
 }
 
 

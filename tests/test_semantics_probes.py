@@ -1183,3 +1183,43 @@ def test_quality_gate_audit_has_mixed_outcomes(con):
     assert d.n_checked.nunique() == 1
     # routing identity: good + quarantined == checked
     assert (d.n_good + d.n_quarantined == d.n_checked).all()
+
+
+def test_kneser_ney_scores_are_positive_and_spread(con):
+    d = con.execute(_oracle("kneser_ney_bigram")).fetchdf()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(d) == n_docs
+    assert (d.n_bigrams >= 1).all()
+    # -ln P of a valid probability is positive; vocab ~30 => ln < ~ln(30*2)
+    assert (d.avg_neg_logp_micro > 0).all()
+    assert d.avg_neg_logp_micro.max() < 20_000_000
+    assert d.avg_neg_logp_micro.nunique() > 10  # real per-doc signal
+    # arithmetic identity: avg = sum DIV n
+    assert (d.avg_neg_logp_micro
+            == d.sum_neg_logp_micro // d.n_bigrams).all()
+
+
+def test_ht_estimates_debias_the_weighted_sample(con):
+    d = con.execute(_oracle("importance_weighted_stats")).fetchdf()
+    # the Poisson draw landed near its expected size
+    assert 0.5 * 200 <= d.n_sampled.sum() <= 2 * 200
+    # per-source HT estimates track truth (k/|sources| draws per source,
+    # rel error ~ 1/sqrt(n) — generous 60% band, zero would mean broken)
+    assert (d.tok_rel_err_micro < 600_000).all()
+    # aggregate estimate is tight
+    tot_est, tot_true = d.est_tokens.sum(), d.true_tokens.sum()
+    assert abs(tot_est - tot_true) < 0.25 * tot_true
+    assert (d.est_docs > 0).all()
+
+
+def test_conformal_coverage_tracks_target(con):
+    d = con.execute(
+        _oracle("conformal_threshold_calibration")
+    ).fetchdf().sort_values("alpha_pct")
+    assert list(d.alpha_pct) == [5, 10, 20]
+    # threshold and coverage shrink as alpha grows
+    assert d.q_hat_cents.is_monotonic_decreasing
+    assert d.coverage_micro.is_monotonic_decreasing
+    # measured holdout coverage sits near 1-alpha (finite-sample band)
+    assert ((d.coverage_micro - d.target_micro).abs() <= 90_000).all()
+    assert (d.k_from_top >= 1).all()
