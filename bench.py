@@ -147,6 +147,29 @@ EXTRA = [
     "sft_mask_plan",
     "cer_pair_eval",
     "event_gap_histogram",
+    # round-7 batches 12-14 (batch entries only: the five new streaming
+    # replay gates are correctness entries whose wall is the engine's
+    # fixed startup+state cost, already represented in the bench by
+    # streaming_sessionize_replay)
+    "fim_split_plan",
+    "chat_turn_validate",
+    "epoch_repeat_plan",
+    "embedding_pca_power",
+    "image_dhash_dedup",
+    "decile_lift_table",
+    "partition_prune_estimate",
+    "abc_pareto_class",
+    "grpo_advantage_plan",
+    "weighted_sample_topk",
+    "doremi_reweight_step",
+    "theta_sketch_set_ops",
+    "benford_digit_screen",
+    "kneser_ney_bigram",
+    "importance_weighted_stats",
+    "conformal_threshold_calibration",
+    "embedding_isotropy_probe",
+    "stratified_kfold_assign",
+    "k_anonymity_check",
 ]
 
 

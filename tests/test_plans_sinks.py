@@ -396,6 +396,10 @@ BNLJ_ALLOWED = {
     "kneser_ney_bigram",
     "importance_weighted_stats",
     "conformal_threshold_calibration",
+    # batch 15: 1-row corpus-scalar broadcasts (row count / energy
+    # totals / group-size summary) against 64-row or 3-row dimensions
+    "embedding_isotropy_probe",
+    "k_anonymity_check",
 }
 
 

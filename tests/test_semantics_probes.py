@@ -1223,3 +1223,38 @@ def test_conformal_coverage_tracks_target(con):
     # measured holdout coverage sits near 1-alpha (finite-sample band)
     assert ((d.coverage_micro - d.target_micro).abs() <= 90_000).all()
     assert (d.k_from_top >= 1).all()
+
+
+def test_isotropy_probe_detects_structure(con):
+    d = con.execute(_oracle("embedding_isotropy_probe")).fetchdf()
+    assert len(d) == 64
+    assert d.anisotropy_micro.nunique() == 1  # corpus-level scalar
+    a = d.anisotropy_micro.iloc[0]
+    assert 0 <= a < 1_000_000
+    # energy shares partition the total (floor slack: 1 micro per dim)
+    assert 1_000_000 - 64 <= d.energy_share_micro.sum() <= 1_000_000
+    assert d.top_dim_share_micro.iloc[0] == d.energy_share_micro.max()
+    # 64 dims: a uniform cloud would put ~15625 micros per dim; the probe
+    # is useful iff shares actually vary
+    assert d.energy_share_micro.max() > d.energy_share_micro.min()
+
+
+def test_kfold_assignment_is_balanced_per_stratum(con):
+    d = con.execute(_oracle("stratified_kfold_assign")).fetchdf()
+    assert set(d.fold) == {0, 1, 2, 3, 4}
+    assert (d.stratum_imbalance <= 1).all()
+    per_lang = d.groupby("lang").fold.count()
+    assert (per_lang == 5).all()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert d.n_docs.sum() == n_docs
+
+
+def test_k_anonymity_risk_grows_with_k(con):
+    d = con.execute(_oracle("k_anonymity_check")).fetchdf().sort_values("k")
+    assert list(d.k) == [2, 5, 10]
+    assert d.rows_at_risk.is_monotonic_increasing
+    assert d.risk_frac_micro.between(0, 1_000_000).all()
+    # the fine QI tuple on a small table is NOT k-anonymous at k=10 —
+    # the screen exists to say so
+    assert not bool(d[d.k == 10].k_anonymous.iloc[0])
+    assert (d.n_rows == d.n_rows.iloc[0]).all()
