@@ -151,6 +151,116 @@ def topk_cosine(
     )
 
 
+def band_topk_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n: int,
+    lo: float,
+    hi: float,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    exclude_col: str | None = None,
+    max_queries: int = MAX_BRUTE_FORCE_QUERIES,
+) -> DataFrame:
+    """Exact top-n neighbors per query restricted to a cosine band
+    ``lo <= cos < hi`` — the semi-hard-negative selection rule from
+    contrastive-training practice (too-similar items are likely true
+    positives/duplicates; too-dissimilar ones are uninformative easy
+    negatives). ``exclude_col`` (e.g. a class label) drops candidates
+    that share the query's value — those are positives, not negatives.
+
+    Same execution shape as ``topk_cosine``: the bounded query matrix
+    broadcasts, each corpus partition scores all queries with one BLAS
+    matmul, applies the band + label mask, and emits only its per-query
+    top-n under the (cos desc, id asc) total order; a metadata-scale
+    window merges partials. The band test runs on the ROUNDED cosine so
+    engine-edge candidates land on the same side as the oracle's.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, cosine double"
+    qcols = [F.col(id_col), F.col(vec_col)]
+    if exclude_col is not None:
+        qcols.append(F.col(exclude_col))
+    qpd = queries.select(*qcols).limit(max_queries + 1).toPandas()
+    if len(qpd) > max_queries:
+        raise ValueError(
+            f"band_topk_cosine broadcasts its query side and must stay <= "
+            f"{max_queries} rows (got more); sample the probe set harder or "
+            f"use the ANN paths."
+        )
+    if len(qpd) == 0:
+        return spark.createDataFrame(
+            [], schema=f"query_id {qid_t}, neighbor_id {nid_t}, "
+            "rank int, cosine double"
+        )
+    qids = qpd[id_col].to_numpy()
+    qmat = np.array(qpd[vec_col].tolist(), dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qexc = qpd[exclude_col].to_numpy() if exclude_col is not None else None
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm, qexc))
+
+    def _round6(x):
+        # half-away-from-zero: matches DuckDB round(x, 6) / F.round
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def _score_partition(batches):
+        b_qids, b_qmat, b_qnorm, b_qexc = bq.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cids = pdf[id_col].to_numpy()
+            cexc = (
+                pdf[exclude_col].to_numpy() if exclude_col is not None else None
+            )
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            scores = _round6((cmat @ b_qmat.T) / np.outer(cnorm, b_qnorm))
+            out_q, out_n, out_s = [], [], []
+            for j in range(nq):
+                mask = (
+                    (cids != b_qids[j])
+                    & (scores[:, j] >= lo)
+                    & (scores[:, j] < hi)
+                )
+                if cexc is not None:
+                    mask &= cexc != b_qexc[j]
+                keep = np.nonzero(mask)[0]
+                if keep.size == 0:
+                    continue
+                order = np.lexsort((cids[keep], -scores[keep, j]))[:n]
+                sel = keep[order]
+                out_q.append(np.full(sel.size, b_qids[j]))
+                out_n.append(cids[sel])
+                out_s.append(scores[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    ccols = [F.col(id_col), F.col(vec_col)]
+    if exclude_col is not None:
+        ccols.append(F.col(exclude_col))
+    partials = corpus.select(*ccols).mapInPandas(_score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def prefix_top1(
     probes: DataFrame,
     corpus: DataFrame,

@@ -400,6 +400,10 @@ BNLJ_ALLOWED = {
     # totals / group-size summary) against 64-row or 3-row dimensions
     "embedding_isotropy_probe",
     "k_anonymity_check",
+    # batch 16: 1-row corpus-total broadcasts (trigram total, vocabulary
+    # total weight) against the grouped count tables
+    "ngram_topk_df",
+    "negative_sampling_freq",
 }
 
 

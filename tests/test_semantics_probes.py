@@ -1258,3 +1258,121 @@ def test_k_anonymity_risk_grows_with_k(con):
     # the screen exists to say so
     assert not bool(d[d.k == 10].k_anonymous.iloc[0])
     assert (d.n_rows == d.n_rows.iloc[0]).all()
+
+
+# ---------------------------------------------------------------------------
+# batch 16
+
+
+def test_ngram_topk_df_shares_and_df_bounds(con):
+    d = con.execute(_oracle("ngram_topk_df")).fetchdf()
+    assert len(d) == 20
+    # ordered by occurrence count; shares follow the same order
+    assert d.n_occ.is_monotonic_decreasing
+    assert d.occ_share_micro.is_monotonic_decreasing
+    # doc frequency can never exceed occurrences, and a top-20 corpus
+    # trigram must appear in more than one document
+    assert (d.n_docs <= d.n_occ).all()
+    assert (d.n_docs > 1).all()
+    assert (d.gram.str.count(" ") == 2).all()
+
+
+def test_negative_sampling_ranges_partition_and_flatten(con):
+    d = con.execute(_oracle("negative_sampling_freq")).fetchdf()
+    # cumulative ranges tile [0, total) half-open: first lo is the empty
+    # frame (NULL), every hi equals the next row's lo, widths = weights
+    assert d.cum_lo.isna().iloc[0] and d.cum_lo.isna().sum() == 1
+    lo = d.cum_lo.fillna(0).to_numpy()
+    hi = d.cum_hi.to_numpy()
+    assert (hi - lo == d.w_micro.to_numpy()).all()
+    assert (lo[1:] == hi[:-1]).all()
+    # ^0.75 flattens the head: the top token's smoothed share must sit
+    # strictly below its raw frequency share
+    raw_share = d.n.iloc[0] / d.n.sum()
+    assert d.p_micro.iloc[0] / 1_000_000 < raw_share
+
+
+def test_hard_negatives_respect_band_and_labels(con):
+    d = con.execute(_oracle("hard_negative_mining")).fetchdf()
+    assert len(d) > 0
+    assert d.cosine.between(0.10, 0.45, inclusive="left").all()
+    assert (d["rank"] <= 5).all()
+    lab = con.execute(
+        "SELECT vec_id, label FROM embeddings"
+    ).fetchdf().set_index("vec_id").label
+    assert (
+        lab.loc[d.query_id].to_numpy() != lab.loc[d.neighbor_id].to_numpy()
+    ).all()
+    # per query: ranks are dense from 1 and cosine non-increasing in rank
+    for _, g in d.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g.cosine.is_monotonic_decreasing or g.cosine.nunique() < len(g)
+
+
+def test_burst_zscore_orders_and_flags(con):
+    d = con.execute(_oracle("event_burst_zscore")).fetchdf()
+    assert len(d) == 20
+    assert d.z_micro.is_monotonic_decreasing
+    assert (d.mean_micro > 0).all()
+    assert ((d.z_micro >= 3_000_000) == (d.is_burst == 1)).all()
+
+
+def test_referential_integrity_consistent_star(con):
+    d = con.execute(_oracle("referential_integrity_audit")).fetchdf()
+    assert len(d) == 8
+    # the synthetic star is referentially consistent — every edge clean
+    assert (d.orphan_rows == 0).all()
+    assert (d.orphan_rate_micro == 0).all()
+    assert (d.child_keys <= d.child_rows).all()
+
+
+def test_referential_integrity_detects_planted_orphan():
+    import duckdb as _duck
+
+    c = _duck.connect()
+    for p in glob.glob(f"{SF_SMALL}/*.parquet"):
+        c.execute(
+            f"CREATE VIEW {os.path.basename(p).removesuffix('.parquet')}_raw "
+            f"AS SELECT * FROM '{p}'"
+        )
+    for t in ("lineitem", "orders", "customer", "supplier",
+              "nation", "region", "part"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM {t}_raw")
+    # one event from a user id no customer has
+    c.execute(
+        "CREATE VIEW events AS SELECT * FROM events_raw UNION ALL "
+        "(SELECT event_id, ts, 999999999 AS user_id, event_type, value, "
+        "props FROM events_raw LIMIT 1)"
+    )
+    d = c.execute(_oracle("referential_integrity_audit")).fetchdf()
+    row = d[d.edge == "events.user_id->customer"].iloc[0]
+    assert row.orphan_rows == 1 and row.orphan_rate_micro > 0
+
+
+def test_winsorized_mean_sits_inside_cuts(con):
+    d = con.execute(_oracle("winsorized_segment_stats")).fetchdf()
+    assert len(d) == 5
+    assert (d.lo_micro < d.hi_micro).all()
+    assert (d.winsor_mean_micro >= d.lo_micro).all()
+    assert (d.winsor_mean_micro <= d.hi_micro).all()
+    # clamping moved every segment's mean (degenerate cuts would not)
+    assert (d.winsor_mean_micro != d.raw_mean_micro).any()
+
+
+def test_session_entropy_bounded_by_type_count(con):
+    d = con.execute(_oracle("session_entropy")).fetchdf()
+    n_types = con.execute(
+        "SELECT count(DISTINCT event_type) FROM events"
+    ).fetchone()[0]
+    import math
+
+    h_max = math.floor(1_000_000 * math.log(n_types))
+    assert (d.max_h_micro <= h_max).all()
+    assert (d.min_h_micro >= 0).all()
+    n_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert d.n_users.sum() == n_users
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert d.events_covered.sum() == n_events
