@@ -404,6 +404,10 @@ BNLJ_ALLOWED = {
     # total weight) against the grouped count tables
     "ngram_topk_df",
     "negative_sampling_freq",
+    # batch 17: 1-row scalar broadcasts (max-day window anchor, class
+    # totals, pair counts / OLS row) against day- or class-scale tables
+    "theil_sen_trend",
+    "l_diversity_check",
 }
 
 

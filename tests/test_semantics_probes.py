@@ -1376,3 +1376,63 @@ def test_session_entropy_bounded_by_type_count(con):
     assert d.n_users.sum() == n_users
     n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
     assert d.events_covered.sum() == n_events
+
+
+# ---------------------------------------------------------------------------
+# batch 17
+
+
+def test_dp_release_noise_is_laplace_like(con):
+    d = con.execute(_oracle("dp_laplace_counts")).fetchdf()
+    # one cell per observed (lang, source); released = true + noise
+    assert (
+        d.released_micro == d.true_n * 1_000_000 + d.noise_micro
+    ).all()
+    # Laplace(b=1): half the mass within b·ln2 of 0, long tails beyond;
+    # deterministic hash-uniform must produce BOTH signs and a spread
+    assert (d.noise_micro > 0).any() and (d.noise_micro < 0).any()
+    med = d.abs_err_micro.median()
+    assert 200_000 < med < 2_000_000  # median |noise| near ln2 ≈ 0.693
+    assert d.abs_err_micro.max() > 1_500_000  # a tail draw exists
+
+
+def test_l_diversity_monotone_and_consistent(con):
+    d = con.execute(_oracle("l_diversity_check")).fetchdf().sort_values("l")
+    assert list(d.l) == [2, 3, 5]
+    assert d.classes_below.is_monotonic_increasing
+    assert d.rows_exposed.is_monotonic_increasing
+    assert (d.exposed_frac_micro.between(0, 1_000_000)).all()
+    # 5 order priorities over big nation×segment classes: diverse at
+    # l=2 but the min-l column must still be a real measurement
+    assert (d.min_l >= 1).all()
+    assert ((d.min_l >= d.l) == (d.l_diverse == 1)).all()
+
+
+def test_theil_sen_bounded_pairs_and_sane_slope(con):
+    d = con.execute(_oracle("theil_sen_trend")).fetchdf()
+    assert len(d) == 1
+    r = d.iloc[0]
+    assert r.n_days <= 180
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    # both estimators exist and the gap column is their distance
+    assert r.slope_gap_micro == abs(r.ts_slope_micro - r.ols_slope_micro)
+
+
+def test_gini_bounded_and_nondegenerate(con):
+    d = con.execute(_oracle("gini_revenue_concentration")).fetchdf()
+    assert len(d) == 5
+    assert d.gini_micro.between(0, 1_000_000).all()
+    # revenue is never perfectly equal nor perfectly concentrated
+    assert (d.gini_micro > 0).all() and (d.gini_micro < 900_000).all()
+
+
+def test_entropy_rate_orderings(con):
+    d = con.execute(_oracle("ngram_entropy_rate")).fetchdf()
+    assert len(d) == 5
+    # joint >= marginal, conditional >= 0 (floor slack: vocab-size micros)
+    assert (d.h12_micro >= d.h1_micro).all()
+    assert (d.cond_micro >= -int(d.bigram_types.max())).all()
+    # unigram entropy below the uniform ceiling; conditioning reduces
+    # per-token uncertainty vs the unigram rate on natural-ish text
+    assert (d.h1_micro <= d.uniform_ceiling_micro).all()
+    assert (d.cond_micro <= d.h1_micro + int(d.bigram_types.max())).all()
