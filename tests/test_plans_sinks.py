@@ -408,6 +408,12 @@ BNLJ_ALLOWED = {
     # totals, pair counts / OLS row) against day- or class-scale tables
     "theil_sen_trend",
     "l_diversity_check",
+    # batch 18: 1-row scalar broadcasts (cutoff/fit row, file totals,
+    # population total) and the months x file-summary range join (both
+    # sides are bounded metadata tables)
+    "forecast_backtest_mape",
+    "zonemap_skip_rate",
+    "purchase_propensity_calibration",
 }
 
 

@@ -1436,3 +1436,55 @@ def test_entropy_rate_orderings(con):
     # per-token uncertainty vs the unigram rate on natural-ish text
     assert (d.h1_micro <= d.uniform_ceiling_micro).all()
     assert (d.cond_micro <= d.h1_micro + int(d.bigram_types.max())).all()
+
+
+# ---------------------------------------------------------------------------
+# batch 18
+
+
+def test_elasticity_regression_is_complete(con):
+    d = con.execute(_oracle("grouped_ols_elasticity")).fetchdf()
+    assert len(d) >= 3
+    assert (d.n > 30).all()
+    # correlation is a bounded micro value and consistent in sign with
+    # the slope (same numerator)
+    assert d.corr_micro.between(-1_000_000, 1_000_000).all()
+    same_sign = (d.slope_micro >= 0) == (d.corr_micro >= 0)
+    assert same_sign.all()
+
+
+def test_backtest_windows_and_errors(con):
+    d = con.execute(_oracle("forecast_backtest_mape")).fetchdf()
+    r = d.iloc[0]
+    assert r.n_train <= 180 and r.n_test <= 30
+    assert r.n_test >= 1 and r.n_train >= 30
+    assert r.mape_micro >= 0
+    assert r.worst_day_ape_micro >= r.mape_micro
+    assert abs(r.bias_micro) <= r.mape_micro + 1
+
+
+def test_zonemap_sorted_layout_dominates(con):
+    d = con.execute(_oracle("zonemap_skip_rate")).fetchdf()
+    assert len(d) >= 12
+    assert d.skip_sorted_micro.between(0, 1_000_000).all()
+    assert d.skip_natural_micro.between(0, 1_000_000).all()
+    # sort-on-write is the whole point: the sorted layout must skip at
+    # least as much as insertion order for EVERY monthly predicate,
+    # and strictly more in aggregate
+    assert (d.skip_sorted_micro >= d.skip_natural_micro).all()
+    assert d.skip_sorted_micro.sum() > d.skip_natural_micro.sum()
+    assert (d.touched_sorted <= d.files_sorted).all()
+
+
+def test_calibration_table_is_reliability_diagram(con):
+    d = con.execute(_oracle("purchase_propensity_calibration")).fetchdf()
+    assert (d.obs_rate_micro.between(0, 1_000_000)).all()
+    assert (d.n_pos <= d.n).all()
+    assert (d.gap_micro ==
+            (d.mean_score_micro - d.obs_rate_micro).abs()).all()
+    # ECE decomposition: per-bin contributions reassemble (floor slack)
+    ece = d.ece_contrib_micro.sum()
+    direct = (d.n * d.gap_micro).sum() // d.n.sum()
+    assert abs(ece - direct) <= len(d)
+    # mean score rises with the bin index (score defines the bin)
+    assert d.sort_values("bin").mean_score_micro.is_monotonic_increasing
