@@ -414,6 +414,9 @@ BNLJ_ALLOWED = {
     "forecast_backtest_mape",
     "zonemap_skip_rate",
     "purchase_propensity_calibration",
+    # batch 19: 1-row fit/max-week scalar broadcasts against the bounded
+    # age table; the eligibles inequality join is cohort-weeks x ages
+    "retention_halflife_fit",
 }
 
 

@@ -1488,3 +1488,50 @@ def test_calibration_table_is_reliability_diagram(con):
     assert abs(ece - direct) <= len(d)
     # mean score rises with the bin index (score defines the bin)
     assert d.sort_values("bin").mean_score_micro.is_monotonic_increasing
+
+
+# ---------------------------------------------------------------------------
+# batch 19
+
+
+def test_retention_decays_and_halflife_consistent(con):
+    d = con.execute(_oracle("retention_halflife_fit")).fetchdf()
+    d = d.sort_values("age_weeks")
+    assert d.age_weeks.iloc[0] == 0
+    # age 0 is full retention by construction (cohort = first week)
+    assert d.rate_micro.iloc[0] == 1_000_000
+    assert (d.rate_micro.between(0, 1_000_000)).all()
+    assert (d.active_n <= d.eligible_n).all()
+    # the same fit rides every row; half-life only exists for decay
+    assert d.decay_slope_micro.nunique() == 1
+    if d.decay_slope_micro.iloc[0] < 0:
+        assert (d.halflife_weeks_micro > 0).all()
+
+
+def test_seasonal_indices_sum_near_zero(con):
+    d = con.execute(_oracle("seasonal_decompose_daily")).fetchdf()
+    assert len(d) == 7
+    assert set(d.dow) == set(range(7))
+    # the decomposition must find SOME weekday structure to report
+    # (indices differ across dow), and residual columns are coherent
+    assert d.seasonal_micro.nunique() > 1
+    assert (d.mean_abs_resid_micro >= 0).all()
+    assert (d.max_abs_resid_micro >= d.mean_abs_resid_micro).all()
+    # every full-window day contributes exactly once
+    assert (d.n_days >= 1).all()
+
+
+def test_rrf_fuses_both_lists(con):
+    d = con.execute(_oracle("rrf_rank_fusion")).fetchdf()
+    assert len(d) == 20
+    assert d.fused_rank.is_monotonic_increasing
+    assert d.rrf_nano.is_monotonic_decreasing
+    # the fused head must actually draw on BOTH rankings: top fused
+    # customers appear in at least one list, and the two rank columns
+    # are not identical orderings
+    both = d.dropna(subset=["rank_rev", "rank_cnt"])
+    assert len(both) >= 1
+    assert not (d.rank_rev.fillna(-1) == d.rank_cnt.fillna(-1)).all()
+    # membership in both lists beats a same-rank single-list entry
+    top = d.iloc[0]
+    assert top.rrf_nano >= int(1e9 / 61)

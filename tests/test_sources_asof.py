@@ -73,10 +73,13 @@ def test_df_to_sheet_values_roundtrip(spark):
 
 
 def test_fetch_stub_raises():
+    # asyncio.run creates a fresh loop: get_event_loop() is
+    # order-dependent (fails after any test that ran asyncio.run and
+    # left no current loop on the main thread)
     import asyncio
 
     with pytest.raises(NotImplementedError):
-        asyncio.get_event_loop().run_until_complete(fetch_google_sheets("x"))
+        asyncio.run(fetch_google_sheets("x"))
 
 
 def test_asof_join_matches_latest_at_or_before(spark):
