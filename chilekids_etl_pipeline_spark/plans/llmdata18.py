@@ -1,0 +1,257 @@
+"""Training-data pipeline operators, batch 18 (round 7): degenerate-loop
+detection and int8 quantization retrieval-recall probe.
+
+Public recipes as declarative Spark plans:
+
+- Repetition-loop detection: the classic degenerate-generation /
+  low-quality-text signature (Holtzman et al. 2019's neural text
+  degeneration; Gopher's repetition filters measure duplicate MASS,
+  this measures the longest PERIODIC RUN): for periods p ∈ {1,2,3},
+  the longest run of positions where word[i] == word[i−p] — "the cat
+  the cat the cat" lights up p=2 with a run proportional to the loop.
+- Quantization recall probe (standard vector-index evaluation, e.g.
+  Faiss practice): top-5 neighbor overlap between full-precision and
+  int8-dequantized embeddings for a hash-sampled probe set — the
+  measured answer to "does 4× compression change retrieval?", pairing
+  embedding_quantize_int8 (storage/error) with its retrieval impact.
+
+Dual-dialect SQL for the loop detector; the recall probe runs both
+neighbor searches on the shared BLAS matmul kernel and the oracle
+re-derives them with exact SQL folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import words_sql
+from ..operators.similarity import topk_cosine
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _idiv(dialect: str) -> str:
+    return "DIV" if dialect == "spark" else "//"
+
+
+# ---------------------------------------------------------------------------
+# periodic-repetition loop detector
+
+
+_LOOP_PERIODS = (1, 2, 3)
+_LOOP_TOP = 100
+
+
+def _loop_sql(dialect: str) -> str:
+    w = words_sql(dialect)
+    idiv = _idiv(dialect)
+    ps = ", ".join(str(p) for p in _LOOP_PERIODS)
+    if dialect == "spark":
+        toks = """
+toks AS (
+    SELECT doc_id, pe.i, pe.tok
+    FROM words LATERAL VIEW posexplode(w) pe AS i, tok
+)"""
+    else:
+        toks = """
+toks AS (
+    SELECT doc_id, u.i, w[u.i + 1] AS tok
+    FROM words, LATERAL (SELECT unnest(range(0, len(w))) AS i) u
+)"""
+    if dialect == "spark":
+        pgrid_block = f"""
+expanded AS (
+    SELECT doc_id, i, tok, p
+    FROM toks LATERAL VIEW explode(array({ps})) g AS p
+),"""
+    else:
+        pgrid_block = f"""
+expanded AS (
+    SELECT doc_id, i, tok, u.p
+    FROM toks, LATERAL (SELECT unnest([{ps}]) AS p) u
+),"""
+    return f"""
+WITH words AS (SELECT doc_id, {w} AS w FROM documents),
+lens AS (SELECT doc_id, cast(size_w AS bigint) AS n_words FROM (
+    SELECT doc_id, {"size(w)" if dialect == "spark" else "len(w)"} AS size_w
+    FROM words) t WHERE size_w > 0),
+{toks.strip()},
+{pgrid_block}
+-- positions that CONTINUE a period-p loop: word[i] == word[i-p]
+hits AS (
+    SELECT a.doc_id, a.p, a.i
+    FROM expanded a
+    JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i - a.p
+               AND b.tok = a.tok
+),
+-- gaps-and-islands: consecutive hit positions share (i - row_number)
+islands AS (
+    SELECT doc_id, p, i,
+           i - row_number() OVER (PARTITION BY doc_id, p ORDER BY i)
+               AS isl
+    FROM hits
+),
+runs AS (
+    SELECT doc_id, p, cast(count(*) AS bigint) AS run_hits
+    FROM islands GROUP BY doc_id, p, isl
+),
+-- a run of R consecutive period-p matches spans R + p words
+best_per_p AS (
+    SELECT doc_id, p, max(run_hits) + p AS loop_words
+    FROM runs GROUP BY doc_id, p
+),
+best AS (
+    SELECT doc_id, p AS best_p, loop_words,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY loop_words DESC, p) AS rn
+    FROM best_per_p
+)
+SELECT b.doc_id, l.n_words, b.best_p, b.loop_words,
+       (b.loop_words * 1000000) {idiv} l.n_words AS loop_score_micro
+FROM best b JOIN lens l ON b.doc_id = l.doc_id
+WHERE b.rn = 1
+ORDER BY loop_score_micro DESC, b.doc_id
+LIMIT {_LOOP_TOP}
+"""
+
+
+@register("loop_detect_score", oracle=_loop_sql("duckdb"))
+def loop_detect_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-loop screen: for each document, the longest periodic
+    run (word[i] == word[i−p], p ∈ {1,2,3}) as a fraction of the
+    document — the signature of stuck generation loops and copy-paste
+    stutter that duplicate-MASS filters (gopher_quality_signals) dilute
+    on long documents. One token explode, one bounded period grid, one
+    equi-join on (doc, i−p) — everything downstream partitions by
+    doc_id, so Catalyst reuses a single shuffle for the join, the
+    islands window, and the run aggregation; output is the top-100
+    worst offenders. Companions: gopher_quality_signals (duplicate
+    mass), ocr_artifact_score, text_quality."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_loop_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization recall probe
+
+
+_QR_EVERY = 41
+_QR_K = 5
+
+def _qrecall_oracle() -> str:
+    dq = ("list_transform(v, x -> cast(floor(x / sc * 127 + 0.5) AS int)"
+          " * sc / 127)")
+    dot = ("round(list_reduce(list_transform(list_zip(q.v, c.v), "
+           "p -> p[1] * p[2]), (a, b) -> a + b) / (q.nrm * c.nrm), 6)")
+
+    def ranked(src: str, alias: str) -> str:
+        return f"""
+{alias} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {dot} DESC, c.vec_id) AS rank
+        FROM {src} q JOIN {src} c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {_QR_EVERY} = 0
+    ) WHERE rank <= {_QR_K}
+)"""
+
+    return f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+    FROM embeddings
+),
+scaled AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS sc
+    FROM base
+),
+full_n AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, x -> x * x),
+                            (a, b) -> a + b)) AS nrm
+    FROM scaled WHERE sc > 0
+),
+quant_n AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, x -> x * x),
+                            (a, b) -> a + b)) AS nrm
+    FROM (SELECT vec_id, {dq} AS v FROM scaled WHERE sc > 0) t
+),
+{ranked("full_n", "full_top").strip()},
+{ranked("quant_n", "quant_top").strip()}
+SELECT f.query_id,
+       cast(count(q.neighbor_id) AS bigint) AS n_common,
+       cast(count(q.neighbor_id) AS bigint) * 1000000 // {_QR_K}
+           AS overlap_micro
+FROM full_top f LEFT JOIN quant_top q
+    ON f.query_id = q.query_id AND f.neighbor_id = q.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@register("quantization_recall_probe", oracle=_qrecall_oracle())
+def quantization_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval impact of int8 compression: top-5 cosine neighbors
+    computed twice — full-precision and int8-dequantized (the
+    embedding_quantize_int8 scheme: per-vector max-abs scale,
+    floor(x/s·127+0.5)) — for every 41st vector, reporting per-probe
+    neighbor overlap. This is the standard index-evaluation loop (recall
+    of the compressed index against exact search) run corpus-side.
+
+    Both searches execute on the shared BLAS matmul kernel
+    (operators/similarity.py topk_cosine: broadcast probe matrix,
+    per-partition matmul + partial top-k, metadata-scale merge); the
+    dequantized corpus is one codegen array projection, never
+    materialized wide. The probe set is the bounded side — corpus-scale
+    quantization QA goes through ann_ivf_cosine's cells like
+    semantic_dedup. Companions: embedding_quantize_int8 (storage/error),
+    matryoshka_dim_fidelity (truncation impact), knn_topk_cosine
+    (exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("vec"),
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x AS double))))"
+        ).alias("sc"),
+    ).filter(F.col("sc") > 0)
+    full = emb.select("vec_id", "vec")
+    quant = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(vec, x -> cast(floor(x / sc * 127 + 0.5) AS int)"
+            " * sc / 127)"
+        ).alias("vec"),
+    )
+    fprobes = full.filter(F.col("vec_id") % _QR_EVERY == 0)
+    qprobes = quant.filter(F.col("vec_id") % _QR_EVERY == 0)
+    ftop = topk_cosine(fprobes, full, k=_QR_K).select(
+        "query_id", "neighbor_id"
+    )
+    qtop = topk_cosine(qprobes, quant, k=_QR_K).select(
+        F.col("query_id").alias("q_query_id"),
+        F.col("neighbor_id").alias("q_neighbor_id"),
+    )
+    joined = ftop.join(
+        qtop,
+        (F.col("query_id") == F.col("q_query_id"))
+        & (F.col("neighbor_id") == F.col("q_neighbor_id")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("q_neighbor_id").alias("n_common"))
+        .select(
+            "query_id",
+            "n_common",
+            (F.col("n_common") * 1000000 / F.lit(_QR_K))
+            .cast("bigint")
+            .alias("overlap_micro"),
+        )
+        .orderBy("query_id")
+    )

@@ -1535,3 +1535,26 @@ def test_rrf_fuses_both_lists(con):
     # membership in both lists beats a same-rank single-list entry
     top = d.iloc[0]
     assert top.rrf_nano >= int(1e9 / 61)
+
+
+def test_loop_detector_finds_periodic_runs(con):
+    d = con.execute(_oracle("loop_detect_score")).fetchdf()
+    assert len(d) == 100
+    assert d.best_p.isin([1, 2, 3]).all()
+    assert (d.loop_words <= d.n_words).all()
+    assert (d.loop_words > d.best_p).all()  # at least one real match
+    assert d.loop_score_micro.is_monotonic_decreasing
+    # the synthetic corpus contains genuine stutter ("batch batch ...");
+    # the top offender must be a non-trivial fraction of its doc
+    assert d.loop_score_micro.iloc[0] >= 100_000
+
+
+def test_quantization_preserves_most_neighbors(con):
+    d = con.execute(_oracle("quantization_recall_probe")).fetchdf()
+    assert len(d) >= 10
+    assert d.n_common.between(0, 5).all()
+    assert (d.overlap_micro == d.n_common * 200_000).all()
+    # int8 with a per-vector scale is a mild distortion: most probes
+    # keep most of their top-5, and at least one keeps all of it
+    assert d.n_common.mean() >= 3.0
+    assert (d.n_common == 5).any()
