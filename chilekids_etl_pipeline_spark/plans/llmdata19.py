@@ -1,0 +1,149 @@
+"""Training-data pipeline operators, batch 19 (round 7): dedup yield
+curve.
+
+Public recipe: threshold planning for near-dup removal (the sweep every
+dedup paper reports — e.g. Lee et al. 2022 "Deduplicating training data
+makes language models better" tables): for a grid of Jaccard thresholds,
+how many candidate pairs fire, how many documents would be dropped under
+keep-lowest-id survivorship, and how many tokens that deletes. Run on
+the measured pair distribution BEFORE committing a corpus-wide dedup.
+
+Dual-dialect SQL template sharing similarity_histogram's df-capped
+inverted-index candidate bound (no all-pairs work anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import shingles_sql, words_sql
+from ..sources.tables import load_table, maybe_rebalance
+from .registry import register
+
+
+def _idiv(dialect: str) -> str:
+    return "DIV" if dialect == "spark" else "//"
+
+
+_YC_N = 3  # shingle width (matches the dedup family)
+_YC_DF_MULT = 5  # df-cap: drop shingles present in > corpus/5 docs (20%)
+_YC_GRID = ("0.5", "0.6", "0.7", "0.8", "0.9")
+
+
+def _yield_docs_cte(dialect: str) -> str:
+    # corpus + planted near-dups (first-3-words drop of every 30th doc),
+    # the similarity_histogram population — the curve needs a real
+    # high-similarity mode to be worth reading
+    w = words_sql(dialect)
+    if dialect == "spark":
+        tail = f"concat_ws(' ', slice({w}, 4, size({w})))"
+    else:
+        tail = f"array_to_string(list_slice({w}, 4, len({w})), ' ')"
+    return f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 700000 AS doc_id, {tail} AS text
+    FROM documents WHERE doc_id % 30 = 0
+"""
+
+
+def _yield_sql(dialect: str, sh_src: str | None = None) -> str:
+    idiv = _idiv(dialect)
+    w = words_sql(dialect)
+    grams = shingles_sql(dialect, w, _YC_N)
+    ex = "explode" if dialect == "spark" else "unnest"
+    grid = ", ".join(_YC_GRID)
+    t_rows = (
+        f"LATERAL VIEW explode(array({grid})) tt AS t"
+        if dialect == "spark"
+        else f", LATERAL (SELECT unnest([{grid}]) AS t) tt"
+    )
+    sh_body = (
+        f"SELECT doc_id, g FROM {sh_src}"
+        if sh_src
+        else f"SELECT doc_id, {ex}({grams}) AS g FROM docs"
+    )
+    return f"""
+WITH docs AS ({_yield_docs_cte(dialect)}),
+toks AS (SELECT doc_id,
+                cast({"size" if dialect == "spark" else "len"}({w}) AS bigint)
+                    AS n_words
+         FROM docs),
+sh AS ({sh_body}),
+df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
+corpus AS (SELECT count(*) AS n FROM docs),
+keep AS (
+    SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_YC_DF_MULT} <= n
+),
+shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+    SELECT i.doc_a, i.doc_b,
+           i.i / cast(sa.sz + sb.sz - i.i AS double) AS j
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+-- keep-lowest-id survivorship: at threshold t a doc is dropped iff it
+-- is the HIGHER id of any pair with j >= t
+dropped AS (
+    SELECT tt.t, jac.doc_b
+    FROM jac {t_rows}
+    WHERE jac.j >= tt.t
+    GROUP BY tt.t, jac.doc_b
+),
+pair_counts AS (
+    SELECT tt.t, cast(count(*) AS bigint) AS n_pairs
+    FROM jac {t_rows}
+    WHERE jac.j >= tt.t
+    GROUP BY tt.t
+),
+drop_stats AS (
+    SELECT d.t, cast(count(*) AS bigint) AS docs_dropped,
+           cast(sum(tk.n_words) AS bigint) AS words_dropped
+    FROM dropped d JOIN toks tk ON d.doc_b = tk.doc_id
+    GROUP BY d.t
+),
+corpus_words AS (
+    SELECT cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_words) AS bigint) AS n_words
+    FROM toks
+)
+SELECT p.t AS threshold, p.n_pairs, s.docs_dropped, s.words_dropped,
+       (s.docs_dropped * 1000000) {idiv} c.n_docs AS doc_frac_micro,
+       (s.words_dropped * 1000000) {idiv} c.n_words AS word_frac_micro
+FROM pair_counts p
+JOIN drop_stats s ON p.t = s.t
+CROSS JOIN corpus_words c
+ORDER BY p.t
+"""
+
+
+@register("dedup_yield_curve", oracle=_yield_sql("duckdb"))
+def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold planning: for Jaccard thresholds 0.5–0.9, the
+    candidate pairs that fire, the documents dropped under keep-lowest-id
+    survivorship, and the token budget that deletes — the yield table a
+    curation review reads next to similarity_histogram before committing
+    a corpus-wide dedup run. Candidates come from the same df-capped
+    inverted-index join as the histogram (hot shingles dropped before the
+    self-join, so pair work is bounded by real co-occurrence, never
+    all-pairs); the threshold grid is a lateral explode over the pair
+    table. Perf: the shingle CTE is referenced repeatedly — materialized
+    once Spark-side (the standing CTE-inlining lesson). Companions:
+    similarity_histogram (the distribution), lsh_band_tuning (index
+    sizing), dedup_minhash_lsh (the dedup itself)."""
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
+    docs.createOrReplaceTempView("documents")
+    grams_expr = shingles_sql("spark", words_sql("spark"), _YC_N)
+    sh = spark.sql(
+        f"WITH docs AS ({_yield_docs_cte('spark')}) "
+        f"SELECT doc_id, explode({grams_expr}) AS g FROM docs"
+    )
+    sh.persist().createOrReplaceTempView("yield_sh_mat")
+    return spark.sql(_yield_sql("spark", sh_src="yield_sh_mat"))

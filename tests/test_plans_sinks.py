@@ -417,6 +417,9 @@ BNLJ_ALLOWED = {
     # batch 19: 1-row fit/max-week scalar broadcasts against the bounded
     # age table; the eligibles inequality join is cohort-weeks x ages
     "retention_halflife_fit",
+    # batch 21: the same 1-row corpus-count broadcasts as
+    # similarity_histogram (df cap + corpus word totals)
+    "dedup_yield_curve",
 }
 
 

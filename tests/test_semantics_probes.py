@@ -1558,3 +1558,29 @@ def test_quantization_preserves_most_neighbors(con):
     # keep most of their top-5, and at least one keeps all of it
     assert d.n_common.mean() >= 3.0
     assert (d.n_common == 5).any()
+
+
+def test_yield_curve_monotone_in_threshold(con):
+    d = con.execute(_oracle("dedup_yield_curve")).fetchdf()
+    d = d.sort_values("threshold")
+    assert len(d) == 5
+    # tightening the threshold can only shrink pairs and deletions
+    assert d.n_pairs.is_monotonic_decreasing
+    assert d.docs_dropped.is_monotonic_decreasing
+    assert d.words_dropped.is_monotonic_decreasing
+    # the planted near-dups must survive to the 0.9 bucket
+    assert d.n_pairs.iloc[-1] > 0
+    assert (d.docs_dropped <= d.n_pairs).all()
+    assert d.doc_frac_micro.between(0, 1_000_000).all()
+
+
+def test_nrr_decomposition_consistent(con):
+    d = con.execute(_oracle("net_revenue_retention")).fetchdf()
+    assert len(d) >= 4
+    assert (d.retained_customers <= d.base_customers).all()
+    # NRR = GRR + expansion, exactly (shared integer-cents numerators,
+    # floor slack 2 micros)
+    assert ((d.nrr_micro - d.grr_micro - d.expansion_micro).abs()
+            <= 2).all()
+    assert (d.grr_micro <= 1_000_000).all()
+    assert (d.logo_retention_micro.between(0, 1_000_000)).all()
