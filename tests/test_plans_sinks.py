@@ -418,8 +418,10 @@ BNLJ_ALLOWED = {
     # age table; the eligibles inequality join is cohort-weeks x ages
     "retention_halflife_fit",
     # batch 21: the same 1-row corpus-count broadcasts as
-    # similarity_histogram (df cap + corpus word totals)
+    # similarity_histogram (df cap + corpus word totals); the bootstrap's
+    # 1-row point-estimate broadcast against the 100-row resample table
     "dedup_yield_curve",
+    "bootstrap_ci_conversion",
 }
 
 

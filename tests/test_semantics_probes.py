@@ -1584,3 +1584,19 @@ def test_nrr_decomposition_consistent(con):
             <= 2).all()
     assert (d.grr_micro <= 1_000_000).all()
     assert (d.logo_retention_micro.between(0, 1_000_000)).all()
+
+
+def test_bootstrap_ci_brackets_point_estimate(con):
+    d = con.execute(_oracle("bootstrap_ci_conversion")).fetchdf()
+    r = d.iloc[0]
+    assert r.n_resamples == 100
+    # the 95% interval brackets the point estimate and the median
+    assert r.ci_lo_micro <= r.point_micro <= r.ci_hi_micro
+    assert r.ci_lo_micro <= r.ci_mid_micro <= r.ci_hi_micro
+    # Poisson noise is real: the interval has width, but bounded —
+    # binomial sd ~ sqrt(p(1-p)/n); 8 sd is a generous envelope
+    import math
+
+    p = r.point_micro / 1e6
+    sd = math.sqrt(max(p * (1 - p), 1e-9) / r.n_users)
+    assert 0 < (r.ci_hi_micro - r.ci_lo_micro) <= 8 * sd * 1e6
