@@ -203,7 +203,7 @@ def load_all() -> None:
     from . import llmdata14, analytics14, llmdata15, analytics15  # noqa: F401
     from . import llmdata16, analytics16, llmdata17, analytics17  # noqa: F401
     from . import analytics18, analytics19, llmdata18  # noqa: F401
-    from . import llmdata19, analytics20, analytics21  # noqa: F401
+    from . import llmdata19, analytics20, analytics21, llmdata20  # noqa: F401
 
     verified = externally_verified()
     ordered = {

@@ -1,0 +1,275 @@
+"""Training-data pipeline operators, batch 20 (round 7): content-defined
+chunking dedup and MinHash estimator-error audit.
+
+Public recipes as declarative Spark plans:
+
+- Content-defined chunking (Muthitacharoen et al. 2001 LBFS; FastCDC
+  2016): cut documents where a rolling fingerprint hits a boundary
+  pattern, so chunk boundaries survive insertions/deletions — the
+  storage-dedup technique a crawl archive uses to store near-identical
+  page revisions once. Measured here: chunk-level dedup ratio across
+  the corpus with planted revisions.
+- MinHash estimator-error audit (Broder 1997's resemblance estimator):
+  |signature-agreement estimate − exact Jaccard| over the candidate
+  pairs — the measurement that says whether 12 hashes are enough
+  BEFORE trusting banded LSH at corpus scale.
+
+Dual-dialect SQL templates; the word-level rolling fingerprint and the
+Carter-Wegman MinHash both reduce to md5-derived integers, identical in
+any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import shingles_sql, words_sql
+from ..sources.tables import load_table, maybe_rebalance
+from .registry import register
+
+
+def _idiv(dialect: str) -> str:
+    return "DIV" if dialect == "spark" else "//"
+
+
+def _h32(dialect: str, expr: str) -> str:
+    if dialect == "spark":
+        return f"cast(conv(substr(md5({expr}), 1, 8), 16, 10) AS bigint)"
+    return f"cast(('0x' || substr(md5({expr}), 1, 8)) AS bigint)"
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup
+
+
+_CDC_MASK = 8  # boundary when fingerprint % 8 == 0 → ~8-word chunks
+_CDC_W = 4  # fingerprint window (words)
+
+
+def _cdc_docs_cte(dialect: str) -> str:
+    # corpus + planted REVISIONS: every 25th doc with its first 2 words
+    # dropped — the page-revision shape CDC exists to deduplicate
+    # (fixed-size chunking would misalign every chunk after the edit)
+    w = words_sql(dialect)
+    if dialect == "spark":
+        tail = f"concat_ws(' ', slice({w}, 3, size({w})))"
+    else:
+        tail = f"array_to_string(list_slice({w}, 3, len({w})), ' ')"
+    return f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 800000 AS doc_id, {tail} AS text
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _cdc_sql(dialect: str) -> str:
+    idiv = _idiv(dialect)
+    w = words_sql(dialect)
+    if dialect == "spark":
+        toks = """
+toks AS (
+    SELECT doc_id, pe.i, pe.tok
+    FROM docs_w LATERAL VIEW posexplode(w) pe AS i, tok
+)"""
+        win = (
+            "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), "
+            "element_at(w, i + 3), element_at(w, i + 4))"
+        )
+        wins = f"""
+wins AS (
+    SELECT doc_id, i, {win} AS window4
+    FROM docs_w LATERAL VIEW explode(sequence(0, size(w) - {_CDC_W})) t AS i
+    WHERE size(w) >= {_CDC_W}
+)"""
+        agg_chunk = "concat_ws(' ', collect_list(tok))"
+    else:
+        toks = """
+toks AS (
+    SELECT doc_id, u.i, w[u.i + 1] AS tok
+    FROM docs_w, LATERAL (SELECT unnest(range(0, len(w))) AS i) u
+)"""
+        win = ("w[u.i + 1] || ' ' || w[u.i + 2] || ' ' || w[u.i + 3] "
+               "|| ' ' || w[u.i + 4]")
+        wins = f"""
+wins AS (
+    SELECT doc_id, u.i, {win} AS window4
+    FROM docs_w, LATERAL (SELECT unnest(range(0, len(w) - {_CDC_W - 1}))
+                          AS i) u
+    WHERE len(w) >= {_CDC_W}
+)"""
+        agg_chunk = "string_agg(tok, ' ' ORDER BY i)"
+    h = _h32(dialect, "window4")
+    if dialect == "spark":
+        # order-proof chunk text: collect (i, tok) structs, sort, join
+        chunk_text = (
+            "concat_ws(' ', transform(sort_array(collect_list("
+            "struct(i, tok))), s -> s.tok))"
+        )
+    else:
+        chunk_text = agg_chunk
+    return f"""
+WITH docs AS ({_cdc_docs_cte(dialect)}),
+docs_w AS (SELECT doc_id, {w} AS w FROM docs),
+{toks.strip()},
+{wins.strip()},
+-- a position STARTS a new chunk if the 4-word fingerprint ending there
+-- hits the boundary pattern (i >= 1; position 0 always starts chunk 0)
+cuts AS (
+    SELECT doc_id, i FROM wins
+    WHERE ({h}) % {_CDC_MASK} = 0 AND i >= 1
+),
+-- chunk id of a token = running count of cuts at or before its
+-- position (flag join + prefix-sum window, both partitioned by doc)
+flagged AS (
+    SELECT t.doc_id, t.i, t.tok,
+           CASE WHEN c.i IS NULL THEN 0 ELSE 1 END AS is_cut
+    FROM toks t LEFT JOIN cuts c
+        ON c.doc_id = t.doc_id AND c.i = t.i
+),
+assigned AS (
+    SELECT doc_id, i, tok,
+           sum(is_cut) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS chunk_no
+    FROM flagged
+),
+chunks AS (
+    SELECT doc_id, chunk_no, {chunk_text} AS chunk_text,
+           cast(count(*) AS bigint) AS chunk_words
+    FROM assigned GROUP BY doc_id, chunk_no
+),
+hashed AS (
+    SELECT doc_id, chunk_no, chunk_words, md5(chunk_text) AS chash
+    FROM chunks
+)
+SELECT cast(count(*) AS bigint) AS total_chunks,
+       cast(count(DISTINCT chash) AS bigint) AS unique_chunks,
+       cast(sum(chunk_words) AS bigint) AS total_words,
+       (count(DISTINCT chash) * 1000000) {idiv} count(*)
+           AS unique_frac_micro,
+       cast(min(chunk_words) AS bigint) AS min_chunk_words,
+       cast(max(chunk_words) AS bigint) AS max_chunk_words
+FROM hashed
+"""
+
+
+@register("cdc_chunk_dedup", oracle=_cdc_sql("duckdb"))
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup ratio: documents cut where the
+    4-word rolling fingerprint hits the boundary pattern (~8-word
+    chunks), chunks hashed, corpus-wide unique fraction measured against
+    planted head-edited revisions — the storage-dedup measurement where
+    CDC beats fixed-size chunking (an edit shifts every fixed chunk but
+    only the chunk containing it under CDC). Execution: token and window
+    explodes are linear; the cut-count subquery compiles to an equi-join
+    + aggregation on (doc, position) — everything partitions by doc_id
+    and the chunk rebuild is an order-proof sorted collect within (doc,
+    chunk). Companions: line_dedup_rebuild / paragraph_dedup (structural
+    units), exact_substring_dedup (suffix content), doc_fingerprint
+    (whole-doc rolling hash)."""
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_cdc_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error audit
+
+
+_MH_HASHES = 12
+_ME_N = 5  # shingle width — 3-grams over this corpus's ~30-word vocab
+           # have df ~75, and pairs-sharing-a-shingle blows past 10^8 at
+           # sf1; 5-grams (similarity_histogram's width) keep df ~1
+_ME_DF_MULT = 20
+
+
+def _mh_err_sql(dialect: str) -> str:
+    idiv = _idiv(dialect)
+    grams = shingles_sql(dialect, words_sql(dialect), _ME_N)
+    ex = "explode" if dialect == "spark" else "unnest"
+    if dialect == "spark":
+        k_rows = f"LATERAL VIEW explode(sequence(0, {_MH_HASHES - 1})) kk AS k"
+        h1 = "cast(conv(substr(md5(g), 1, 15), 16, 10) AS bigint)"
+        h2 = "cast(conv(substr(md5(g), 16, 13), 16, 10) AS bigint)"
+    else:
+        k_rows = f", LATERAL (SELECT unnest(range(0, {_MH_HASHES})) AS k) kk"
+        h1 = "cast(('0x' || substr(md5(g), 1, 15)) AS bigint)"
+        h2 = "cast(('0x' || substr(md5(g), 16, 13)) AS bigint)"
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+sh AS (SELECT doc_id, {ex}({grams}) AS g FROM docs),
+df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
+corpus AS (SELECT count(*) AS n FROM docs),
+keep AS (
+    SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_ME_DF_MULT} <= n
+),
+shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
+-- 12-hash Carter-Wegman MinHash signature: ONE md5 per shingle
+-- (h1, h2), permutation k evaluated as h1 + k*h2 (Broder; bounds
+-- h1 < 2^60, h2 < 2^52 keep 64-bit arithmetic overflow-free) — the
+-- same construction dedup_minhash_lsh ships, so this audits the
+-- production estimator at production cost
+hd AS (
+    SELECT doc_id, {h1} AS h1, {h2} AS h2
+    FROM shf
+),
+sig AS (
+    SELECT doc_id, kk.k, min(h1 + kk.k * h2) AS mh
+    FROM hd {k_rows}
+    GROUP BY doc_id, kk.k
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT i.doc_a, i.doc_b,
+           (i.i * 1000000) {idiv} (sa.sz + sb.sz - i.i) AS jac_micro
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+-- signature agreement over the SAME candidate pairs
+est AS (
+    SELECT e.doc_a, e.doc_b,
+           (cast(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS bigint)
+            * 1000000) {idiv} {_MH_HASHES} AS est_micro
+    FROM exact e
+    JOIN sig x ON x.doc_id = e.doc_a
+    JOIN sig y ON y.doc_id = e.doc_b AND y.k = x.k
+    GROUP BY e.doc_a, e.doc_b
+),
+errs AS (
+    SELECT abs(s.est_micro - x.jac_micro) AS err_micro,
+           x.jac_micro
+    FROM est s JOIN exact x ON s.doc_a = x.doc_a AND s.doc_b = x.doc_b
+)
+SELECT jac_micro {idiv} 250000 AS jac_band,
+       cast(count(*) AS bigint) AS n_pairs,
+       cast(sum(err_micro) AS bigint) {idiv} count(*) AS mean_err_micro,
+       cast(max(err_micro) AS bigint) AS max_err_micro
+FROM errs
+GROUP BY 1
+ORDER BY jac_band
+"""
+
+
+@register("minhash_estimate_error", oracle=_mh_err_sql("duckdb"))
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality: |12-hash signature agreement − exact
+    Jaccard| over the df-capped candidate pairs, banded by true
+    similarity — the audit that says whether the signature width behind
+    dedup_minhash_lsh is adequate (expected error ~ sqrt(j(1−j)/12))
+    BEFORE trusting banded LSH corpus-wide. Signatures use the Broder
+    construction the dedup entries ship (one md5 per shingle, pairwise-
+    independent h1 + k·h2 permutations, grouped min), so the audit
+    measures the production estimator at production cost. Pair work is bounded by the same
+    inverted-index join as similarity_histogram. Companions:
+    dedup_lsh_recall (candidate recall), lsh_band_tuning (S-curve),
+    ndv_profile_error (the sketch-audit pattern for distinct counts)."""
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_mh_err_sql("spark"))

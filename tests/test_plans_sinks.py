@@ -422,6 +422,8 @@ BNLJ_ALLOWED = {
     # 1-row point-estimate broadcast against the 100-row resample table
     "dedup_yield_curve",
     "bootstrap_ci_conversion",
+    # batch 22: the df-cap's 1-row corpus-count broadcast (same shape)
+    "minhash_estimate_error",
 }
 
 

@@ -1600,3 +1600,25 @@ def test_bootstrap_ci_brackets_point_estimate(con):
     p = r.point_micro / 1e6
     sd = math.sqrt(max(p * (1 - p), 1e-9) / r.n_users)
     assert 0 < (r.ci_hi_micro - r.ci_lo_micro) <= 8 * sd * 1e6
+
+
+def test_cdc_dedup_saves_storage_on_revisions(con):
+    d = con.execute(_oracle("cdc_chunk_dedup")).fetchdf()
+    r = d.iloc[0]
+    assert r.unique_chunks <= r.total_chunks
+    # ~1/25 of docs are planted head-edited revisions whose tail chunks
+    # realign: CDC must find real duplicate chunks (<97% unique), yet
+    # most chunks stay unique on this random-ish corpus
+    assert 500_000 <= r.unique_frac_micro <= 970_000
+    assert r.min_chunk_words >= 1
+    assert r.max_chunk_words >= 8
+
+
+def test_minhash_error_within_binomial_envelope(con):
+    d = con.execute(_oracle("minhash_estimate_error")).fetchdf()
+    assert len(d) >= 1
+    assert (d.n_pairs > 0).all()
+    # 12-hash estimator: sd <= sqrt(0.25/12) ~ 0.144; mean |err| must
+    # sit well inside 2 sd and max inside the hard bound of 1
+    assert (d.mean_err_micro <= 290_000).all()
+    assert (d.max_err_micro <= 1_000_000).all()
