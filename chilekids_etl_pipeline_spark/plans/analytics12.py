@@ -201,7 +201,12 @@ classed AS (
 SELECT abc_class,
        cast(sum(n_parts) AS bigint) AS n_parts,
        cast(sum(value_rev) AS bigint) AS rev_cents,
-       cast((sum(value_rev) * 1000000) {idiv} max(t.rev_total) AS bigint)
+       -- class_cents * 1e6 crosses 2^63 once corpus revenue passes
+       -- ~9e12 cents (seen at sf1): go through doubles instead — both
+       -- sums sit far below 2^53 so the conversion is exact, and the
+       -- one division + floor is IEEE-identical in both engines
+       cast(floor(1000000.0 * cast(sum(value_rev) AS double)
+                  / cast(max(t.rev_total) AS double)) AS bigint)
            AS rev_share_micro
 FROM classed CROSS JOIN (SELECT max(rev_total) AS rev_total FROM ranked) t
 GROUP BY abc_class

@@ -60,13 +60,17 @@ grams AS (
     return f"""
 WITH words AS (SELECT doc_id, {w} AS w FROM documents),
 {grams.strip()},
+per_doc AS (
+    -- stage 1: (gram, doc) occurrence counts — map-side combinable,
+    -- and it removes the count(DISTINCT) expand from stage 2 (the
+    -- expand doubled the shuffled rows of the single-pass form)
+    SELECT gram, doc_id, cast(count(*) AS bigint) AS c
+    FROM grams GROUP BY gram, doc_id
+),
 counts AS (
-    -- one grouped pass: total occurrences + document frequency; the
-    -- distinct-doc count is a partial-aggregable count(distinct) on an
-    -- already-grouped key, not a second corpus scan
-    SELECT gram, cast(count(*) AS bigint) AS n_occ,
-           cast(count(DISTINCT doc_id) AS bigint) AS n_docs
-    FROM grams GROUP BY gram
+    SELECT gram, cast(sum(c) AS bigint) AS n_occ,
+           cast(count(*) AS bigint) AS n_docs
+    FROM per_doc GROUP BY gram
 ),
 tot AS (SELECT cast(sum(n_occ) AS bigint) AS total FROM counts)
 SELECT gram, n_occ, n_docs,
