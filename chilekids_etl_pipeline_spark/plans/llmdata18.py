@@ -60,30 +60,37 @@ toks AS (
     FROM words, LATERAL (SELECT unnest(range(0, len(w))) AS i) u
 )"""
     if dialect == "spark":
-        pgrid_block = f"""
-expanded AS (
-    SELECT doc_id, i, tok, p
-    FROM toks LATERAL VIEW explode(array({ps})) g AS p
-),"""
+        unpivot = ("LATERAL VIEW explode(array("
+                   "named_struct('p', 1, 'm', m1), "
+                   "named_struct('p', 2, 'm', m2), "
+                   "named_struct('p', 3, 'm', m3))) u AS pm")
+        p_col, m_col = "pm.p", "pm.m"
     else:
-        pgrid_block = f"""
-expanded AS (
-    SELECT doc_id, i, tok, u.p
-    FROM toks, LATERAL (SELECT unnest([{ps}]) AS p) u
-),"""
+        unpivot = (", LATERAL (SELECT unnest([struct_pack(p := 1, m := m1), "
+                   "struct_pack(p := 2, m := m2), "
+                   "struct_pack(p := 3, m := m3)]) AS pm) u")
+        p_col, m_col = "(pm).p", "(pm).m"
     return f"""
 WITH words AS (SELECT doc_id, {w} AS w FROM documents),
 lens AS (SELECT doc_id, cast(size_w AS bigint) AS n_words FROM (
     SELECT doc_id, {"size(w)" if dialect == "spark" else "len(w)"} AS size_w
     FROM words) t WHERE size_w > 0),
 {toks.strip()},
-{pgrid_block}
--- positions that CONTINUE a period-p loop: word[i] == word[i-p]
+-- positions that CONTINUE a period-p loop: word[i] == word[i-p].
+-- Three lag() columns in ONE window pass (a single doc_id shuffle),
+-- then a 3-way struct unpivot — no self-join
+lagged AS (
+    SELECT doc_id, i,
+           CASE WHEN tok = lag(tok, 1) OVER w THEN 1 ELSE 0 END AS m1,
+           CASE WHEN tok = lag(tok, 2) OVER w THEN 1 ELSE 0 END AS m2,
+           CASE WHEN tok = lag(tok, 3) OVER w THEN 1 ELSE 0 END AS m3
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
 hits AS (
-    SELECT a.doc_id, a.p, a.i
-    FROM expanded a
-    JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i - a.p
-               AND b.tok = a.tok
+    SELECT doc_id, {p_col} AS p, i
+    FROM lagged {unpivot}
+    WHERE {m_col} = 1
 ),
 -- gaps-and-islands: consecutive hit positions share (i - row_number)
 islands AS (
