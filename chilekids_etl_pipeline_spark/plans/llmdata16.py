@@ -57,13 +57,12 @@ grams AS (
     FROM words, LATERAL (SELECT unnest(range(0, len(w) - 2)) AS i) u
     WHERE len(w) >= 3
 )"""
-    return f"""
-WITH words AS (SELECT doc_id, {w} AS w FROM documents),
-{grams.strip()},
-per_doc AS (
+    if dialect == "spark":
+        counts_cte = """per_doc AS (
     -- stage 1: (gram, doc) occurrence counts — map-side combinable,
-    -- and it removes the count(DISTINCT) expand from stage 2 (the
-    -- expand doubled the shuffled rows of the single-pass form)
+    -- removing the count(DISTINCT) expand (which doubled the shuffled
+    -- rows); the oracle keeps the independent single-pass DISTINCT
+    -- form, so the two engines cross-check different plans
     SELECT gram, doc_id, cast(count(*) AS bigint) AS c
     FROM grams GROUP BY gram, doc_id
 ),
@@ -71,7 +70,17 @@ counts AS (
     SELECT gram, cast(sum(c) AS bigint) AS n_occ,
            cast(count(*) AS bigint) AS n_docs
     FROM per_doc GROUP BY gram
-),
+)"""
+    else:
+        counts_cte = """counts AS (
+    SELECT gram, cast(count(*) AS bigint) AS n_occ,
+           cast(count(DISTINCT doc_id) AS bigint) AS n_docs
+    FROM grams GROUP BY gram
+)"""
+    return f"""
+WITH words AS (SELECT doc_id, {w} AS w FROM documents),
+{grams.strip()},
+{counts_cte},
 tot AS (SELECT cast(sum(n_occ) AS bigint) AS total FROM counts)
 SELECT gram, n_occ, n_docs,
        (n_occ * 1000000) {idiv} t.total AS occ_share_micro
