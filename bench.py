@@ -170,6 +170,33 @@ EXTRA = [
     "embedding_isotropy_probe",
     "stratified_kfold_assign",
     "k_anonymity_check",
+    # round-7 second session (batches 16-22)
+    "ngram_topk_df",
+    "negative_sampling_freq",
+    "hard_negative_mining",
+    "event_burst_zscore",
+    "referential_integrity_audit",
+    "winsorized_segment_stats",
+    "session_entropy",
+    "dp_laplace_counts",
+    "l_diversity_check",
+    "theil_sen_trend",
+    "gini_revenue_concentration",
+    "ngram_entropy_rate",
+    "grouped_ols_elasticity",
+    "forecast_backtest_mape",
+    "zonemap_skip_rate",
+    "purchase_propensity_calibration",
+    "retention_halflife_fit",
+    "seasonal_decompose_daily",
+    "rrf_rank_fusion",
+    "loop_detect_score",
+    "quantization_recall_probe",
+    "dedup_yield_curve",
+    "net_revenue_retention",
+    "bootstrap_ci_conversion",
+    "cdc_chunk_dedup",
+    "minhash_estimate_error",
 ]
 
 
