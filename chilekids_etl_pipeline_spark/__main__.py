@@ -151,30 +151,66 @@ def run_incremental_elt(
             )
 
     # 4. upsert (src/transform.py:240-346): last-write-wins keyed merge
-    #    into the staging parquet target; batch id = wall clock so later
-    #    CLI runs outrank earlier ones in the replay guard
+    #    into the staging parquet target. Only clean rows go in — the
+    #    reference drops records that fail normalization (transform.py's
+    #    per-record except -> continue), so rows with parse_failed_cols
+    #    are routed to a quarantine parquet beside the target instead of
+    #    becoming permanent staging rows (the payload_hash anti-join
+    #    would otherwise never re-offer them).
     t0 = time.time()
-    merge = merge_upsert_batch(
-        staging_dir,
-        key_col="raw_id",
-        order_cols=("received_at", "payload_hash"),
-        sink_id="cli",
-    )
-    merge(normalized, int(time.time()))
+    clean = normalized.filter(F.col("parse_failed_cols") == "")
+    if n_errors:
+        quarantine_dir = staging_dir.rstrip("/") + "_quarantine"
+        normalized.filter(F.col("parse_failed_cols") != "").write.mode(
+            "append"
+        ).parquet(quarantine_dir)
+        logger.warning(
+            "quarantined %d records with parse failures to %s",
+            n_errors, quarantine_dir,
+        )
+    n_upserted = n_norm - n_errors
+    if n_upserted:
+        merge = merge_upsert_batch(
+            staging_dir,
+            key_col="raw_id",
+            order_cols=("received_at", "payload_hash"),
+            sink_id="cli",
+        )
+        # Strictly increasing batch id: wall-clock seconds alone collide
+        # when two CLI runs start within the same second, and the replay
+        # guard (incremental.py: applied >= batch_id) would silently skip
+        # the second run. Outrank whatever the target has already applied.
+        batch_id = int(time.time())
+        if os.path.exists(staging_dir):
+            cur = spark.read.parquet(staging_dir)
+            if "_sink_id" in cur.columns:
+                applied = (
+                    cur.filter(F.col("_sink_id") == "cli")
+                    .agg(F.max("_batch_id"))
+                    .first()[0]
+                )
+                if applied is not None:
+                    batch_id = max(batch_id, int(applied) + 1)
+        applied_ok = merge(clean, batch_id)
+        if applied_ok is False:
+            logger.warning(
+                "batch %d was NOT applied (replay guard skipped it)",
+                batch_id,
+            )
     t_upsert = time.time() - t0
     changed.unpersist()
     normalized.unpersist()
 
     logger.info("=== summary ===")
     logger.info(
-        "time: %.1fs | processed: %d | upserted: %d",
-        time.time() - start, n_changed, n_norm,
+        "time: %.1fs | processed: %d | upserted: %d | rejected: %d",
+        time.time() - start, n_changed, n_upserted, n_errors,
     )
     logger.info(
         "stages (s): query=%.1f norm=%.1f upsert=%.1f",
         t_query, t_norm, t_upsert,
     )
-    return n_norm
+    return n_upserted
 
 
 def run_load_sheets(
@@ -222,8 +258,12 @@ def run_load_sheets(
     if os.path.exists(raw_dir):
         existing = spark.read.parquet(raw_dir).select("id")
         fresh = df.join(existing, "id", "left_anti")  # ON CONFLICT DO NOTHING
-        fresh.write.mode("append").parquet(raw_dir)
+        # pin the anti-join BEFORE appending to raw_dir: counting after the
+        # write would re-run it against the directory the write just grew
+        fresh = fresh.persist()
         n = fresh.count()
+        fresh.write.mode("append").parquet(raw_dir)
+        fresh.unpersist()
     else:
         df.write.mode("overwrite").parquet(raw_dir)
         n = df.count()

@@ -219,6 +219,8 @@ def band_topk_cosine(
             cexc = (
                 pdf[exclude_col].to_numpy() if exclude_col is not None else None
             )
+            # null-label mask, once per batch (pandas notna covers None/NaN)
+            c_nonnull = pd.notna(pdf[exclude_col]).to_numpy() if cexc is not None else None
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             scores = _round6((cmat @ b_qmat.T) / np.outer(cnorm, b_qnorm))
             out_q, out_n, out_s = [], [], []
@@ -229,7 +231,14 @@ def band_topk_cosine(
                     & (scores[:, j] < hi)
                 )
                 if cexc is not None:
-                    mask &= cexc != b_qexc[j]
+                    # SQL three-valued `<>`: a NULL label on either side
+                    # yields UNKNOWN and the row is dropped. numpy would
+                    # keep None != 'x' and NaN != NaN pairs, so mask null
+                    # labels out explicitly before the inequality test.
+                    qv = b_qexc[j]
+                    if qv is None or (isinstance(qv, float) and qv != qv):
+                        continue
+                    mask &= c_nonnull & (cexc != qv)
                 keep = np.nonzero(mask)[0]
                 if keep.size == 0:
                     continue

@@ -433,7 +433,10 @@ def raw_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inlist = ", ".join(f"'{k}'" for k in _PK_KEYS)
     m = "from_json(payload, 'map<string,string>')"
-    nm = f"transform_keys({m}, (k, v) -> lower(k))"
+    # __nm reuses the materialized __m column — embedding `m` again would
+    # put a second ParseJson in the plan and rely on codegen subexpression
+    # elimination to collapse it; one parse per payload, guaranteed
+    nm = "transform_keys(__m, (k, v) -> lower(k))"
     probes = ", ".join(f"try_element_at(__nm, '{k}')" for k in _PK_KEYS)
     cls = ev.withColumn("__m", F.expr(m)).withColumn(
         "status",

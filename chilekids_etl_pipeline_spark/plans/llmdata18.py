@@ -129,12 +129,14 @@ def loop_detect_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     run (word[i] == word[i−p], p ∈ {1,2,3}) as a fraction of the
     document — the signature of stuck generation loops and copy-paste
     stutter that duplicate-MASS filters (gopher_quality_signals) dilute
-    on long documents. One token explode, one bounded period grid, one
-    equi-join on (doc, i−p) — everything downstream partitions by
-    doc_id, so Catalyst reuses a single shuffle for the join, the
-    islands window, and the run aggregation; output is the top-100
-    worst offenders. Companions: gopher_quality_signals (duplicate
-    mass), ocr_artifact_score, text_quality."""
+    on long documents. One token explode, then THREE lag() columns in a
+    single (doc_id ORDER BY i) window pass — no self-join — unpivoted
+    into a (p, match) grid; gaps-and-islands over (doc_id, p) turns
+    consecutive matches into runs. Everything downstream partitions by
+    doc_id, so the lag window, islands window, and run aggregation ride
+    one shuffle; output is the top-100 worst offenders. Companions:
+    gopher_quality_signals (duplicate mass), ocr_artifact_score,
+    text_quality."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )

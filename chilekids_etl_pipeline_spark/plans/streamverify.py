@@ -109,6 +109,70 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCREMENTAL_ORACLE = """
+SELECT DISTINCT
+       md5('{"event_type":"' || event_type || '","user_id":' || user_id
+           || ',"value":' || cast(cast(value AS decimal(10,2)) AS varchar)
+           || '}') AS payload_hash,
+       event_type,
+       cast(cast(value AS decimal(10,2)) AS double) AS amount
+FROM events
+"""
+
+
+@register("streaming_incremental_replay", oracle=_INCREMENTAL_ORACLE)
+def streaming_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous incremental-ELT core (streaming/incremental.py
+    incremental_normalize — the reference's poll loop main.py:33-139 as
+    a pipeline: canonical content hash → watermarked
+    dropDuplicatesWithinWatermark → normalize projection) replayed
+    through the REAL streaming engine over a single-file availableNow
+    source into a memory sink. This was the last tests-only streaming
+    component; every other one already has a replay gate. The output
+    projects only columns that are pure functions of the canonical
+    payload (hash, event_type, 2-dp amount), because WHICH copy of a
+    content-duplicate survives is arrival-order-dependent — the
+    projection makes the replay deterministic under any batching, and
+    the oracle is the batch DISTINCT over the same canonical form. A
+    hash-identical result proves the streaming dedup state drops exactly
+    the content dups the batch anti-join would."""
+    from ..streaming.incremental import incremental_normalize
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="sir_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir).select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    normalized = incremental_normalize(stream, watermark="1 hour")
+
+    name = "streaming_incremental_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass  # stale view from a previous in-session run
+    q = (
+        normalized.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sir_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "payload_hash", "event_type",
+        F.col("amount").cast("double").alias("amount"),
+    )
+
+
 def _upsert_oracle() -> str:
     from .elt import _canon
 

@@ -122,7 +122,7 @@ def merge_upsert_batch(
 
     from pyspark.sql import Window
 
-    def _merge(batch: DataFrame, batch_id: int) -> None:
+    def _merge(batch: DataFrame, batch_id: int) -> bool:
         spark = batch.sparkSession
         tmp = target_dir + ".tmp"
         old = target_dir + ".old"
@@ -144,7 +144,7 @@ def merge_upsert_batch(
                 .first()[0]
             )
             if applied is not None and applied >= batch_id:
-                return  # replayed batch for THIS sink: already absorbed
+                return False  # replayed batch for THIS sink: already absorbed
             merged = cur.unionByName(stamped)
         else:
             merged = stamped
@@ -167,6 +167,7 @@ def merge_upsert_batch(
             os.rename(target_dir, old)
         os.rename(tmp, target_dir)
         shutil.rmtree(old, ignore_errors=True)
+        return True  # batch applied (foreachBatch ignores this; the CLI reads it)
 
     return _merge
 

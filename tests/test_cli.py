@@ -97,3 +97,60 @@ def test_main_check_exit_codes(tmp_path, values_file):
     cfg.write_text("x=1")
     assert main(["check", "--raw-dir", raw_dir,
                  "--config-file", str(cfg)]) == 0
+
+
+def test_run_quarantines_parse_failures(spark, tmp_path):
+    """The reference drops records that fail normalization instead of
+    upserting them (transform.py per-record except -> continue); the CLI
+    routes them to a quarantine parquet so the payload-hash anti-join
+    can't make malformed rows permanent staging rows (r7 advisor)."""
+    raw_dir = str(tmp_path / "raw")
+    staging_dir = str(tmp_path / "staging")
+    bad = {
+        "values": [
+            ["id", "Date", "Type", "Client", "Category", "Total RUB"],
+            ["ok1", "01.02.2024", "Income", "Acme", "ads", "10"],
+            ["bad1", "01.02.2024", "Income", "Evil", "ads", "not-money"],
+        ]
+    }
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(bad))
+    run_load_sheets("S", "R", values_json=str(p), raw_dir=raw_dir)
+
+    up = run_incremental_elt(raw_dir, staging_dir)
+    assert up == 1  # only the clean row is upserted
+    staged_ids = {r.raw_id for r in
+                  spark.read.parquet(staging_dir).collect()}
+    assert staged_ids == {"ok1"}
+    quar = spark.read.parquet(staging_dir + "_quarantine").collect()
+    assert {r.raw_id for r in quar} == {"bad1"}
+    assert quar[0].parse_failed_cols == "total_rub"
+
+
+def test_run_twice_same_second_applies_both_batches(spark, tmp_path,
+                                                    values_file):
+    """Two CLI runs inside one wall-clock second must both apply: the
+    batch id outranks max(_batch_id) already in the target, so the
+    replay guard (applied >= batch_id) can't silently skip the second
+    run (r7 advisor)."""
+    raw_dir = str(tmp_path / "raw")
+    staging_dir = str(tmp_path / "staging")
+    run_load_sheets("S", "R", values_json=values_file, raw_dir=raw_dir)
+    assert run_incremental_elt(raw_dir, staging_dir) == 3
+
+    extra = {
+        "values": [
+            ["id", "Date", "Type", "Client", "Category", "Total RUB"],
+            ["r9", "05.02.2024", "Income", "Hooli", "ads", "7"],
+        ]
+    }
+    p = tmp_path / "extra.json"
+    p.write_text(json.dumps(extra))
+    run_load_sheets("S", "R", values_json=str(p), raw_dir=raw_dir)
+    # immediately after the first run — almost surely the same second
+    assert run_incremental_elt(raw_dir, staging_dir) == 1
+    staged = spark.read.parquet(staging_dir)
+    assert {r.raw_id for r in staged.collect()} >= {"r1", "r2", "r9"}
+    # ids strictly increase across the two runs
+    bids = sorted({r._batch_id for r in staged.collect()})
+    assert len(bids) == 2 and bids[0] < bids[1]

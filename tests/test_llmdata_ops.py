@@ -347,3 +347,31 @@ def test_jaccard_df_cap_drops_hot_shingle(spark):
     }
     # only the genuine duplicate pair survives, at jaccard 1.0
     assert capped == {(100, 101): 1.0}
+
+
+def test_band_topk_cosine_null_labels_drop_like_sql(spark):
+    """SQL three-valued `<>`: a NULL exclude label on either side yields
+    UNKNOWN and the pair is dropped. numpy's None!='x' / NaN!=NaN would
+    keep such pairs (r7 advisor)."""
+    from chilekids_etl_pipeline_spark.operators.similarity import (
+        band_topk_cosine,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),     # query
+        (2, [1.0, 0.05], None),   # near, null label -> must drop
+        (3, [1.0, 0.1], "b"),     # near, different label -> keeps
+        (4, [1.0, 0.15], "a"),    # near, same label -> drops
+        (5, [1.0, 0.2], None),    # query with null label -> emits nothing
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>, label string"
+    )
+    q = df.filter(F.col("vec_id").isin(1, 5))
+    got = [
+        (r.query_id, r.neighbor_id)
+        for r in band_topk_cosine(
+            q, df, n=5, lo=0.5, hi=1.0, exclude_col="label"
+        ).collect()
+    ]
+    assert got == [(1, 3)]
