@@ -172,12 +172,19 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # winsorized segment statistics
 
 
-def _winsor_sql(dialect: str) -> str:
+def _winsor_sql(dialect: str, j_src: str | None = None) -> str:
+    """``j_src`` would let the Spark side persist the orders⋈customer
+    join; measured SLOWER at sf1 (see the entry docstring), kept as a
+    seam for layouts where the join is genuinely expensive."""
     idiv = _idiv(dialect)
+    j_body = (
+        f"SELECT * FROM {j_src}" if j_src else
+        "SELECT c.c_mktsegment AS seg, o.o_totalprice AS p, o.o_orderkey\n"
+        "    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
     return f"""
 WITH j AS (
-    SELECT c.c_mktsegment AS seg, o.o_totalprice AS p, o.o_orderkey
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    {j_body}
 ),
 stats AS (
     SELECT seg, cast(count(*) AS bigint) AS n FROM j GROUP BY seg
@@ -223,7 +230,11 @@ def winsorized_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row broadcast. Per-row values are floor-quantized to micros before
     the segment sums, so the means are exact integers. Nearest-rank (not
     interpolated) quantiles guarantee the cut is a real data value and
-    cross-engine identical. Companions: order_value_percentiles
+    cross-engine identical. The template references ``j`` three times;
+    persisting it was A/B-tested and REJECTED (idle sf1, alternating
+    runs: no-persist 3.4-4.0 s vs persist 4.1-4.4 s — caching 1.5M rows
+    costs more than re-running the broadcast join, which re-reads a
+    single pruned parquet column). Companions: order_value_percentiles
     (approx-quantile profile), anomaly_mad_robust (MAD outliers),
     feature_scaling (z/minmax normalization)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")

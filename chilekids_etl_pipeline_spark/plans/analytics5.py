@@ -227,6 +227,19 @@ _BACKLOG_SPANS = """
     GROUP BY o_orderkey
 """
 
+# Spark-side variant: aggregate lineitem BELOW the join (6M rows shrink to
+# one per order before joining orders — o_orderdate is functionally
+# dependent on the key, so only max(l_shipdate) needs the wide side).
+# Catalyst doesn't push aggregates through joins; idle sf1 A/B 1.75 s
+# (join-then-agg) vs 1.45 s. Same result by construction.
+_BACKLOG_SPANS_SPARK = """
+    SELECT o_orderkey, cast(o_orderdate AS date) AS opened, ls.closed
+    FROM orders JOIN (
+        SELECT l_orderkey, cast(max(l_shipdate) AS date) AS closed
+        FROM lineitem GROUP BY l_orderkey
+    ) ls ON ls.l_orderkey = o_orderkey
+"""
+
 _BACKLOG_ORACLE_TEMPLATE = """
 WITH spans AS ({spans_body}),
 deltas AS (
@@ -265,10 +278,11 @@ def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     order range join, and the cumulative window runs over the DATE
     aggregate (bounded by the calendar, ~2.4k rows here), not the fact
     table. Orders without lineitems (none in this schema) would be open-
-    ended and are excluded by the inner join."""
+    ended and are excluded by the inner join. The Spark side aggregates
+    lineitem below the join (see _BACKLOG_SPANS_SPARK)."""
     for t in ("orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    spans = spark.sql(_BACKLOG_SPANS)
+    spans = spark.sql(_BACKLOG_SPANS_SPARK)
     spans.persist().createOrReplaceTempView("backlog_spans_mat")
     return spark.sql(_backlog_sql("spark", spans_src="backlog_spans_mat"))
 

