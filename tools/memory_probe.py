@@ -1,0 +1,97 @@
+"""Memory-pressure probe: run the heaviest sf1 queries under a capped
+JVM heap and record completion + wall — evidence that the catalog's
+plans are spill-safe rather than memory-hungry.
+
+Queries execute through the noop sink (full plan runs distributed;
+nothing materializes on the driver), because the point is EXECUTION
+memory: shuffles, aggregation hash maps, window sorts and Arrow batches
+must fit the executor share of one capped local JVM or spill. Driver
+heap is set by SPARK_GRAFT_DRIVER_MEM before JVM start, so this tool
+must be launched fresh per cap:
+
+  SPARK_GRAFT_DRIVER_MEM=3g SPARK_GRAFT_CPUS=24 \
+      python tools/memory_probe.py --sf /root/repo/.scaledata/sf1
+
+Writes --out (default MEMPROBE_sf1.json): per-query wall or the error
+class if the cap genuinely kills execution.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+DEFAULT_QUERIES = [
+    "staging_records",
+    "streaming_sessionize_replay",
+    "semantic_dedup",
+    "similarity_histogram",
+    "minhash_containment",
+    "lsh_band_tuning",
+    "training_data_pipeline",
+    "exact_substring_dedup",
+    "contamination_span",
+    "ccnet_perplexity_buckets",
+    "dedup_minhash_lsh",
+    "ann_ivf_cosine",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/repo/.scaledata/sf1")
+    ap.add_argument("--out", default="MEMPROBE_sf1.json")
+    ap.add_argument("queries", nargs="*", default=None)
+    args = ap.parse_args()
+    names = args.queries or DEFAULT_QUERIES
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from chilekids_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("memory-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    record: dict = {
+        "sf_dir": args.sf,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "sink": "noop (execution only, no driver materialization)",
+        "queries": {},
+    }
+    for name in names:
+        if name not in qs:
+            record["queries"][name] = {"error": "not found"}
+            continue
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        try:
+            qs[name](spark, args.sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            record["queries"][name] = {
+                "wall_s": round(time.monotonic() - t0, 3)
+            }
+            print(f"OK   {name} {record['queries'][name]['wall_s']}s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — the failure IS the datum
+            record["queries"][name] = {
+                "error": f"{type(e).__name__}: {e}"[:300]
+            }
+            print(f"FAIL {name}: {type(e).__name__}", flush=True)
+    record["completed"] = sum(
+        1 for v in record["queries"].values() if "wall_s" in v
+    )
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    print(json.dumps({"completed": record["completed"],
+                      "total": len(record["queries"]),
+                      "driver_mem": record["driver_mem"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
