@@ -490,3 +490,33 @@ def test_rebalance_gate_auto_widens_local_scan(spark):
         assert "RoundRobinPartitioning" not in _plan(df)
     finally:
         spark.conf.set(REBALANCE_CONF, "auto")
+
+
+def test_round8_rewrite_plan_shapes(spark):
+    """Pin the round-8 weak-list rewrites so a refactor can't silently
+    reintroduce the re-execution patterns the idle sf1 A/Bs removed."""
+    # q21: the lineitem⋈orders join runs ONCE — exactly one lineitem scan
+    plan = _plan(QS["q21_waiting_supplier"](spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") == 1, "q21 must scan lineitem once"
+    assert "CartesianProduct" not in plan
+
+    # order_backlog: lineitem aggregates BELOW the join — the max(shipdate)
+    # HashAggregate keyed on l_orderkey must appear under the join side,
+    # i.e. lineitem's scan feeds an aggregate before any join
+    plan = _plan(QS["order_backlog_daily"](spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") == 1
+    assert "max(l_shipdate" in plan, "agg-below-join pushed down"
+
+    # range_partition_planner: the exact percentile runs once — both
+    # UNION branches must read the PERSISTED 1-row aggregate (an
+    # InMemoryTableScan), not re-inline the percentile sort
+    plan = _plan(QS["range_partition_planner"](spark, SF_SMALL))
+    assert "InMemoryTableScan" in plan, (
+        "percentile must come from the materialized 1-row table, not be "
+        "re-inlined per UNION branch"
+    )
+
+    # contamination_span: no string-concat gram build on the Spark side —
+    # grams are array slices (no concat_ws in the gram projection)
+    plan = _plan(QS["contamination_span"](spark, SF_SMALL))
+    assert "concat_ws" not in plan, "grams must join as array slices"
