@@ -12,10 +12,12 @@ Same surface, lake-native storage::
 
 ``run`` is ``run_incremental_elt`` (main.py:33-139): find changed raw
 records by payload-hash anti-join, normalize to the typed staging
-column set, last-write-wins upsert into the staging target; ``--test``
-processes only the first ``TEST_LIMIT`` records and prints 3 examples,
-and per-stage durations + an error-rate warning mirror the reference's
-summary block. ``load`` is ``run_load_sheets`` (main.py:166-216):
+column set, last-write-wins upsert into the staging target. Rows that
+fail normalization are routed to ``<staging>_quarantine`` instead of
+upserted (the reference drops them; the payload-hash anti-join would
+otherwise make malformed rows permanent). ``--test`` processes only the
+first ``TEST_LIMIT`` records and prints 3 examples, and per-stage
+durations + an error-rate warning mirror the reference's summary block. ``load`` is ``run_load_sheets`` (main.py:166-216):
 sheet values → raw layer with explicit-PK detection, content-hash
 fallback ids, duplicate warnings, and insert-if-absent semantics (the
 ``ON CONFLICT (id) DO NOTHING`` analog). ``check`` is ``run_check_env``
