@@ -62,6 +62,7 @@ def jaccard_pairs(
     min_jaccard: float,
     id_col: str = "doc_id",
     df_cap_denom: int | None = None,
+    df_cap_abs: int | None = None,
 ) -> DataFrame:
     """All-pairs Jaccard ≥ threshold via shingle equi-join (no cross join).
 
@@ -75,16 +76,32 @@ def jaccard_pairs(
     the cap), so it is removed with a broadcast anti-join — no shuffle is
     added to the hot path. ``None`` keeps exact uncapped semantics for
     bounded audit corpora (dedup_lsh_recall's ground truth).
+
+    ``df_cap_abs`` additionally drops shingles above an ABSOLUTE document
+    frequency. The relative cap alone leaves pair work superlinear when
+    shingle df grows with the corpus (any shingle sitting at a fixed
+    df/n fraction under 1/denom contributes O(n²) pairs — the round-8
+    scaling curve measured 113× pair-row growth over a 10× step on the
+    saturated-vocabulary test corpus). An absolute cap bounds every
+    bucket at df_cap_abs² pairs, making total pair work linear in the
+    shingle count — the BFF/WIMBD-style guard a crawl-scale run should
+    set (e.g. 256); it is OFF by default because it changes the filtered-
+    Jaccard semantics, and on open-vocabulary corpora content-shingle df
+    does not grow with corpus size.
     """
-    if df_cap_denom is not None:
+    if df_cap_denom is not None or df_cap_abs is not None:
         corpus = sh.agg(F.count_distinct(F.col(id_col)).alias("n_corpus"))
-        hot = (
+        dfreq = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .join(F.broadcast(corpus))
-            .filter(F.col("df") * df_cap_denom > F.col("n_corpus"))
-            .select("shingle")
         )
+        cond = F.lit(False)
+        if df_cap_denom is not None:
+            cond = cond | (F.col("df") * df_cap_denom > F.col("n_corpus"))
+        if df_cap_abs is not None:
+            cond = cond | (F.col("df") > df_cap_abs)
+        hot = dfreq.filter(cond).select("shingle")
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")

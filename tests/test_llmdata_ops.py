@@ -375,3 +375,26 @@ def test_band_topk_cosine_null_labels_drop_like_sql(spark):
         ).collect()
     ]
     assert got == [(1, 3)]
+
+
+def test_jaccard_abs_df_cap_bounds_bucket_size(spark):
+    """df_cap_abs drops shingles above an ABSOLUTE document frequency —
+    the linear-work guard for corpora where shingle df grows with corpus
+    size (round-8 scaling curve: relative cap alone left pair work
+    superlinear, 113x pair rows over a 10x step)."""
+    # 30 docs share one moderately-hot shingle (df=30, under the n/2
+    # relative cap here) plus unique content; one true dup pair
+    hot = "alpha beta gamma"
+    rows = [(i, f"x{i} y{i} z{i} {hot}") for i in range(1, 31)]
+    rows += [(100, "p q r s t"), (101, "p q r s t")]
+    sh = shingle_rows(_docs(spark, rows))
+    # relative-only at denom=1 (cap = n = 32, nothing dropped): hot pairs
+    rel_only = jaccard_pairs(sh, 0.0, df_cap_denom=1).count()
+    assert rel_only > 400  # 30*29/2 hot pairs + the dup
+    # absolute cap 10 removes the df=30 shingle; only the true dup stays
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sh, 0.5, df_cap_denom=1,
+                               df_cap_abs=10).collect()
+    }
+    assert capped == {(100, 101): 1.0}
