@@ -69,3 +69,49 @@ def test_distinct_dimension_drops_null_and_empty(spark):
     df = spark.createDataFrame([("a",), ("a",), ("",), (None,)], "c string")
     got = sorted(r.name for r in distinct_dimension(df, "c").collect())
     assert got == ["a"]
+
+
+def test_salted_agg_equals_plain_groupby_property(spark):
+    """Property: two-stage salted aggregation is EXACT for algebraic
+    aggregates under any key distribution, salt column, and bucket
+    count — the invariant the skew paths rest on (round-8 skew stress
+    pinned it at sf1 with checksums; this pins it on adversarial small
+    inputs including all-one-key, all-distinct, and negative values)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chilekids_etl_pipeline_spark.operators.skew import salted_agg
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),     # skewed key
+                st.integers(min_value=-1000, max_value=1000),
+                st.integers(min_value=0, max_value=10**6), # salt source
+            ),
+            min_size=1, max_size=60,
+        ),
+        buckets=st.sampled_from([1, 2, 16]),
+    )
+    def inner(rows, buckets):
+        df = spark.createDataFrame(rows, "k int, v long, sid long")
+        got = {
+            r.k: (r.n, r.total, r.lo, r.hi)
+            for r in salted_agg(
+                df, ["k"],
+                {"n": "count:*", "total": "sum:v",
+                 "lo": "min:v", "hi": "max:v"},
+                salt_col=F.col("sid"), salt_buckets=buckets,
+            ).collect()
+        }
+        want = {
+            r.k: (r.n, r.total, r.lo, r.hi)
+            for r in df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+                F.min("v").alias("lo"), F.max("v").alias("hi"),
+            ).collect()
+        }
+        assert got == want
+
+    inner()
