@@ -11,6 +11,7 @@ external gate window; rotates in next round.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import register
@@ -18,7 +19,12 @@ from .registry import register
 # ---------------------------------------------------------------------------
 # histogram quantile sketch (integer log-bins, exact-vs-estimate)
 
-def _hist_sql(dialect: str) -> str:
+def _hist_sql(dialect: str, hist_src: str | None = None) -> str:
+    """``hist_src`` lets a caller supply the (bin_id, n, lo, hi) register
+    table from elsewhere — the streaming replay gate feeds the registers
+    maintained by the REAL streaming engine through the identical
+    quantile-estimation tail (streamverify.streaming_histogram_replay);
+    the exact-percentile verification side always reads the batch vals."""
     shr = (
         "shiftright(cents, msb - 3)"
         if dialect == "spark"
@@ -41,6 +47,14 @@ def _hist_sql(dialect: str) -> str:
         else "SELECT unnest([cast(0.5 AS double), cast(0.9 AS double), "
         "cast(0.99 AS double)]) AS q"
     )
+    hist_body = (
+        f"SELECT bin_id, n, lo, hi FROM {hist_src}" if hist_src else f"""
+    SELECT bin_id,
+           cast(count(*) AS bigint) AS n,
+           cast(min(cents) AS bigint) AS lo,
+           cast(max(cents) AS bigint) AS hi
+    FROM binned GROUP BY bin_id"""
+    )
     return f"""
 WITH vals AS (
     SELECT cast(round(o_totalprice * 100, 0) AS bigint) AS cents
@@ -53,11 +67,7 @@ binned AS (
     FROM (SELECT cents, length(bin(cents)) AS msb FROM vals) m
 ),
 hist AS (
-    SELECT bin_id,
-           cast(count(*) AS bigint) AS n,
-           cast(min(cents) AS bigint) AS lo,
-           cast(max(cents) AS bigint) AS hi
-    FROM binned GROUP BY bin_id
+    {hist_body}
 ),
 cum AS (
     SELECT bin_id, n, lo, hi,
@@ -123,6 +133,60 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate sorts (1.7 → ~1.0 s at sf0.1).
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_hist_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# engine-native gap sessionization (session_window)
+
+_SESSION_WINDOW_ORACLE = """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) < 1800000000
+                THEN 0 ELSE 1 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS seq
+    FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       cast(count(*) AS bigint) AS n_events
+FROM sessions GROUP BY user_id, seq
+"""
+
+
+@register("events_session_window_native", oracle=_SESSION_WINDOW_ORACLE)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization through Spark's NATIVE session_window operator —
+    the engine-recommended form at scale (one shuffle on the grouping
+    key, sessions merged inside the aggregation operator, and the same
+    API is watermark-aware in Structured Streaming). Complements the two
+    existing sessionizers: events_sessionize (lag-window gap rule, the
+    portable SQL form) and streaming_sessionize_replay (the custom
+    applyInPandasWithState handler). Boundary semantics are session_
+    window's own and the oracle states them exactly: sessions merge only
+    when the next event starts STRICTLY before the previous session's
+    end (gap < 30 min at microsecond precision; an event exactly 30 min
+    later opens a new session — note the difference from events_
+    sessionize's <= rule), and session_end is last event + gap."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

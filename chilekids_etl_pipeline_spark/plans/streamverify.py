@@ -514,6 +514,75 @@ def streaming_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_replay_oracle() -> str:
+    from .analytics7 import _hist_sql
+
+    return _hist_sql("duckdb")
+
+
+@register("streaming_histogram_replay", oracle=_hist_replay_oracle)
+def streaming_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable msb-histogram (histogram_quantile's register table:
+    per-bin count/min/max over integer cents) maintained as a REAL
+    streaming aggregation — file source → stateless bin projection →
+    complete-mode groupBy state → memory sink, availableNow — then fed
+    through the IDENTICAL quantile-estimation tail, with the exact
+    percentiles computed batch-side as the verification. count is a SUM
+    and lo/hi are MIN/MAX — all mergeable, so the streamed register
+    table must equal the batch histogram under ANY batching, and the
+    oracle is histogram_quantile's SQL verbatim. Completes the streaming
+    sketch trio: HLL (distinct), CMS (frequency), histogram (quantiles)
+    — bounded state on an unbounded stream where an exact percentile
+    would need an unbounded sort."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="shq_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/orders.parquet"),
+        os.path.join(src_dir, "orders.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(src_dir)
+        .selectExpr(
+            "cast(round(o_totalprice * 100, 0) AS bigint) AS cents"
+        )
+        .selectExpr(
+            "cents", "length(bin(cents)) AS msb"
+        )
+        .selectExpr(
+            "cents",
+            "CASE WHEN msb >= 3 THEN msb * 4 + (shiftright(cents, msb - 3) % 4) "
+            "ELSE msb * 4 END AS bin_id",
+        )
+    )
+    regs = stream.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )
+
+    name = "streaming_histogram_sink"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass  # stale view from a previous in-session run
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="shq_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from ..sources.tables import load_table
+    from .analytics7 import _hist_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_hist_sql("spark", hist_src=name))
+
+
 def _cms_oracle() -> str:
     from .llmdata6 import _cms_sql
 
