@@ -197,6 +197,10 @@ EXTRA = [
     "bootstrap_ci_conversion",
     "cdc_chunk_dedup",
     "minhash_estimate_error",
+    # round-8 batch entries (streaming_incremental_replay and
+    # streaming_histogram_replay are correctness gates whose wall is the
+    # streaming engine's fixed startup+state cost, per the round-7 policy)
+    "events_session_window_native",
 ]
 
 

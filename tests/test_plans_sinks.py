@@ -310,6 +310,10 @@ BNLJ_ALLOWED = {
     # round 6: the df-cap's 1-row corpus-count broadcast against the
     # shingle-frequency table (same containment-df-cap pattern)
     "dedup_ngram_jaccard",
+    # round 8: reuses histogram_quantile's estimation tail — the 3-row
+    # quantile-targets table range-joins the bin-count-sized cum table
+    # (same tiny-side shape that allowlists histogram_quantile below)
+    "streaming_histogram_replay",
     # round 7: 1-row scalar broadcasts (token budget, normalization
     # constant, revenue total) and partition_prune_estimate's 4-row
     # predicate table against the partition-count-sized zone-map stats
