@@ -173,7 +173,10 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the next event starts STRICTLY before the previous session's
     end (gap < 30 min at microsecond precision; an event exactly 30 min
     later opens a new session — note the difference from events_
-    sessionize's <= rule), and session_end is last event + gap."""
+    sessionize's <= rule), and session_end is last event + gap. Measured
+    at sf1 (noop sink, idle): 0.8-0.9 s, on par with the lag-window form
+    (0.8-1.0 s) — the native operator costs nothing extra in batch and
+    is the one that carries watermarked state in streaming."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return (
         ev.groupBy(
