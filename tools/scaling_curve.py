@@ -56,7 +56,12 @@ def main() -> int:
     ap.add_argument("--big", default="/root/repo/.scaledata/sf1")
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--out", default="SCALING_sf01_sf1.json")
+    ap.add_argument("queries", nargs="*",
+                    help="override the default query list")
     args = ap.parse_args()
+    global QUERIES
+    if args.queries:
+        QUERIES = args.queries
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
