@@ -255,8 +255,27 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # blocked fuzzy record linkage
 
+_SN_WINDOW = 3  # sorted-neighborhood comparison window
+
+
 def _linkage_sql(dialect: str) -> str:
-    s = "string" if dialect == "spark" else "varchar"
+    leads = ",\n           ".join(
+        f"lead(c_custkey, {i}) OVER w AS k{i}, lead(c_name, {i}) OVER w AS n{i}"
+        for i in range(1, _SN_WINDOW + 1)
+    )
+    if dialect == "spark":
+        structs = ", ".join(
+            f"named_struct('k', k{i}, 'n', n{i})"
+            for i in range(1, _SN_WINDOW + 1)
+        )
+        unpivot = f"LATERAL VIEW explode(array({structs})) u AS p"
+        pk, pn = "p.k", "p.n"
+    else:
+        structs = ", ".join(
+            f"{{'k': k{i}, 'n': n{i}}}" for i in range(1, _SN_WINDOW + 1)
+        )
+        unpivot = f", LATERAL (SELECT unnest([{structs}]) AS p) u"
+        pk, pn = "(p).k", "(p).n"
     return f"""
 WITH base AS (
     SELECT c_custkey, c_name, c_nationkey FROM customer
@@ -266,33 +285,57 @@ WITH base AS (
            c_nationkey
     FROM customer WHERE c_custkey % 40 = 0
 ),
-blocked AS (
-    SELECT c_custkey, c_name,
-           concat(cast(c_nationkey AS {s}), ':', right(c_name, 4)) AS blk
+keyed AS (
+    -- suffix-first sort key: the digit tail is the typo-stable part of
+    -- the name, so records differing only by a prefix/mid-string typo
+    -- sort ADJACENT; cardinality grows with n, unlike a fixed block key
+    SELECT c_custkey, c_name, c_nationkey,
+           concat(right(c_name, 10), left(c_name, 8)) AS sn_key
     FROM base
+),
+nb AS (
+    SELECT c_custkey, c_name,
+           {leads}
+    FROM keyed
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY sn_key, c_custkey)
+),
+pairs AS (
+    SELECT c_custkey AS id_x, c_name AS name_x,
+           {pk} AS id_y, {pn} AS name_y
+    FROM nb {unpivot}
+),
+scored AS (
+    SELECT id_x, id_y, name_x, name_y,
+           cast(levenshtein(name_x, name_y) AS bigint) AS edit_dist
+    FROM pairs WHERE id_y IS NOT NULL
 )
-SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-       a.c_name AS name_a, b.c_name AS name_b,
-       cast(levenshtein(a.c_name, b.c_name) AS bigint) AS edit_dist
-FROM blocked a JOIN blocked b
-  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) <= 2
+SELECT least(id_x, id_y) AS id_a,
+       greatest(id_x, id_y) AS id_b,
+       CASE WHEN id_x < id_y THEN name_x ELSE name_y END AS name_a,
+       CASE WHEN id_x < id_y THEN name_y ELSE name_x END AS name_b,
+       edit_dist
+FROM scored WHERE edit_dist <= 2
 """
 
 
 @register("record_linkage_blocked", oracle=_linkage_sql("duckdb"))
 def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record linkage with blocking — the dirty-dimension dedup
-    exact hashing cannot do (typo'd re-entries of the same customer).
-    Candidate pairs form only inside a block (nation + last-4 chars of
-    the name, the stable fields under mid-string typos), then edit
-    distance <= 2 confirms — the classic blocking-then-comparing
-    architecture that keeps pairwise string comparison off the
-    O(n^2) table and bounded by block size. Planted typo twins
-    ('Custoner' re-entries at +900000) guarantee true matches;
-    levenshtein is a built-in on both engines. At 100 TB the block key
-    is the shuffle key and block-size skew is the thing to monitor
-    (join_skew_profile is the diagnostic)."""
+    """Fuzzy record linkage via SORTED-NEIGHBORHOOD blocking (Hernández
+    & Stolfo) — the dirty-dimension dedup exact hashing cannot do
+    (typo'd re-entries of the same customer). Records sort per nation by
+    a suffix-first key (digit tail + name prefix: the tail is the
+    typo-stable part, so prefix/mid-string typo twins land adjacent),
+    each row compares against its next W=3 neighbors (_SN_WINDOW) via
+    lead() columns, and edit distance <= 2 confirms. Pair work is
+    O(n·W) BY CONSTRUCTION — the round-8 scaling curve measured the
+    previous equi-join blocking (nation × last-4-of-name) superlinear
+    (α=1.30 over the sf0.1→sf1 step) because its block-key cardinality
+    was FIXED (~25·10⁴ blocks), so block sizes, and with them
+    within-block pairs, grew with the corpus. Planted typo twins
+    ('Custoner' re-entries at +900000, edit distance 1) share the digit
+    tail and are always caught. One shuffle on the nation partition;
+    the unpivot is row-local. levenshtein is a built-in on both
+    engines."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_linkage_sql("spark"))
 
