@@ -47,7 +47,14 @@ def _yield_docs_cte(dialect: str) -> str:
 """
 
 
-def _yield_sql(dialect: str, sh_src: str | None = None) -> str:
+def _yield_sql(
+    dialect: str, sh_src: str | None = None, jac_src: str | None = None
+) -> str:
+    """``jac_src`` lets the Spark side materialize the scored-pairs table
+    once: the template references ``jac`` from BOTH the dropped and
+    pair_counts CTEs, and SQL inlining re-runs the shingle self-join —
+    by far the most expensive stage — per reference (idle sf1 A/B in the
+    entry docstring)."""
     idiv = _idiv(dialect)
     w = words_sql(dialect)
     grams = shingles_sql(dialect, w, _YC_N)
@@ -63,13 +70,20 @@ def _yield_sql(dialect: str, sh_src: str | None = None) -> str:
         if sh_src
         else f"SELECT doc_id, {ex}({grams}) AS g FROM docs"
     )
-    return f"""
-WITH docs AS ({_yield_docs_cte(dialect)}),
-toks AS (SELECT doc_id,
-                cast({"size" if dialect == "spark" else "len"}({w}) AS bigint)
-                    AS n_words
-         FROM docs),
-sh AS ({sh_body}),
+    jac_body = (
+        f"SELECT doc_a, doc_b, j FROM {jac_src}" if jac_src else """
+    SELECT i.doc_a, i.doc_b,
+           i.i / cast(sa.sz + sb.sz - i.i AS double) AS j
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b"""
+    )
+    # with jac supplied externally the shingle/pair CTE chain is unused —
+    # and must be OMITTED, not just left dangling: a temp view built from
+    # this same template nests CTEs with identical names, which trips
+    # Spark's InlineCTE rule ("plan became unresolved") when the outer
+    # query repeats them
+    pair_chain = f"""sh AS ({sh_body}),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
@@ -82,12 +96,15 @@ inter AS (
     FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
-jac AS (
-    SELECT i.doc_a, i.doc_b,
-           i.i / cast(sa.sz + sb.sz - i.i AS double) AS j
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
+""" if not jac_src else ""
+    return f"""
+WITH docs AS ({_yield_docs_cte(dialect)}),
+toks AS (SELECT doc_id,
+                cast({"size" if dialect == "spark" else "len"}({w}) AS bigint)
+                    AS n_words
+         FROM docs),
+{pair_chain}jac AS (
+    {jac_body}
 ),
 -- keep-lowest-id survivorship: at threshold t a doc is dropped iff it
 -- is the HIGHER id of any pair with j >= t
@@ -124,6 +141,16 @@ ORDER BY p.t
 """
 
 
+def _yield_pairs_sql(dialect: str, sh_src: str) -> str:
+    """Just the scored-pairs table (doc_a, doc_b, j) — the CTE chain of
+    _yield_sql cut after ``jac``, for Spark-side materialization."""
+    full = _yield_sql(dialect, sh_src=sh_src)
+    head = full.split("\n-- keep-lowest-id survivorship")[0]
+    # drop the trailing "," that preceded the removed CTEs
+    head = head.rstrip().rstrip(",")
+    return head + "\nSELECT doc_a, doc_b, j FROM jac"
+
+
 @register("dedup_yield_curve", oracle=_yield_sql("duckdb"))
 def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup threshold planning: for Jaccard thresholds 0.5–0.9, the
@@ -135,9 +162,15 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, so pair work is bounded by real co-occurrence, never
     all-pairs); the threshold grid is a lateral explode over the pair
     table. Perf: the shingle CTE is referenced repeatedly — materialized
-    once Spark-side (the standing CTE-inlining lesson). Companions:
-    similarity_histogram (the distribution), lsh_band_tuning (index
-    sizing), dedup_minhash_lsh (the dedup itself)."""
+    once Spark-side (the standing CTE-inlining lesson); persisting the
+    scored-pair table as well was A/B-tested and REJECTED (see the
+    in-body note — ReusedExchange already shares the self-join between
+    its two consumers). Scaling note: α≈1.0-1.1 over sf0.1→sf1 on the
+    synthetic corpus is the corpus-saturation pair growth root-caused
+    under dedup_ngram_jaccard (SURVEY §6), not a plan defect.
+    Companions: similarity_histogram (the distribution),
+    lsh_band_tuning (index sizing), dedup_minhash_lsh (the dedup
+    itself)."""
     docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     grams_expr = shingles_sql("spark", words_sql("spark"), _YC_N)
@@ -146,4 +179,11 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, explode({grams_expr}) AS g FROM docs"
     )
     sh.persist().createOrReplaceTempView("yield_sh_mat")
+    # NOT persisted: the scored-pair table. Although two CTEs (dropped,
+    # pair_counts) consume `jac`, Spark's ReusedExchange already shares
+    # the expensive shingle self-join between them — an explicit
+    # persist-jac A/B at sf1 measured 28.7 s vs 27.7 s inlined (and
+    # slowed sf0.1 2.1 -> 3.1 s): caching millions of pair rows costs
+    # more than the reuse it buys. The jac_src seam in _yield_sql stays
+    # for layouts where the reuse doesn't fire.
     return spark.sql(_yield_sql("spark", sh_src="yield_sh_mat"))
