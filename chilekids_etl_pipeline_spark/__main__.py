@@ -100,11 +100,19 @@ def run_incremental_elt(
     raw = spark.read.parquet(raw_dir).filter(F.col("source") == source)
     if "extracted_at" not in raw.columns:
         raw = raw.withColumn("extracted_at", F.current_timestamp())
+    changed = raw
     if os.path.exists(staging_dir):
         staged = spark.read.parquet(staging_dir).select("payload_hash")
-        changed = raw.join(staged, "payload_hash", "left_anti")
-    else:
-        changed = raw
+        changed = changed.join(staged, "payload_hash", "left_anti")
+    # Quarantined parse failures never enter staging, so without this
+    # second anti-join every run would re-select them, re-normalize them,
+    # and append duplicate rows to the quarantine parquet forever (and the
+    # "no new records" early exit would never fire while malformed raw rows
+    # exist). Failed rows are offered exactly once.
+    quarantine_dir = staging_dir.rstrip("/") + "_quarantine"
+    if os.path.exists(quarantine_dir):
+        quarantined = spark.read.parquet(quarantine_dir).select("payload_hash")
+        changed = changed.join(quarantined, "payload_hash", "left_anti")
     changed = changed.orderBy("extracted_at", "id")
     if limit:
         changed = changed.limit(limit)
@@ -162,7 +170,6 @@ def run_incremental_elt(
     t0 = time.time()
     clean = normalized.filter(F.col("parse_failed_cols") == "")
     if n_errors:
-        quarantine_dir = staging_dir.rstrip("/") + "_quarantine"
         normalized.filter(F.col("parse_failed_cols") != "").write.mode(
             "append"
         ).parquet(quarantine_dir)
@@ -185,12 +192,14 @@ def run_incremental_elt(
         batch_id = int(time.time())
         if os.path.exists(staging_dir):
             cur = spark.read.parquet(staging_dir)
-            if "_sink_id" in cur.columns:
-                applied = (
-                    cur.filter(F.col("_sink_id") == "cli")
-                    .agg(F.max("_batch_id"))
-                    .first()[0]
-                )
+            # Bump whenever _batch_id exists at all: a pre-_sink_id-layout
+            # target still gets _sink_id injected inside _merge, so its
+            # replay guard (applied >= batch_id) would silently skip a
+            # same-second rerun if we only bumped on the new layout.
+            if "_batch_id" in cur.columns:
+                if "_sink_id" in cur.columns:
+                    cur = cur.filter(F.col("_sink_id") == "cli")
+                applied = cur.agg(F.max("_batch_id")).first()[0]
                 if applied is not None:
                     batch_id = max(batch_id, int(applied) + 1)
         applied_ok = merge(clean, batch_id)

@@ -90,14 +90,15 @@ def jaccard_pairs(
     does not grow with corpus size.
     """
     if df_cap_denom is not None or df_cap_abs is not None:
-        corpus = sh.agg(F.count_distinct(F.col(id_col)).alias("n_corpus"))
-        dfreq = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .join(F.broadcast(corpus))
-        )
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         cond = F.lit(False)
         if df_cap_denom is not None:
+            # the corpus count (an extra full pass) is only needed for the
+            # relative cap; an absolute-cap-only run skips it entirely
+            corpus = sh.agg(
+                F.count_distinct(F.col(id_col)).alias("n_corpus")
+            )
+            dfreq = dfreq.join(F.broadcast(corpus))
             cond = cond | (F.col("df") * df_cap_denom > F.col("n_corpus"))
         if df_cap_abs is not None:
             cond = cond | (F.col("df") > df_cap_abs)

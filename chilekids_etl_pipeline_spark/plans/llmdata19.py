@@ -141,16 +141,6 @@ ORDER BY p.t
 """
 
 
-def _yield_pairs_sql(dialect: str, sh_src: str) -> str:
-    """Just the scored-pairs table (doc_a, doc_b, j) — the CTE chain of
-    _yield_sql cut after ``jac``, for Spark-side materialization."""
-    full = _yield_sql(dialect, sh_src=sh_src)
-    head = full.split("\n-- keep-lowest-id survivorship")[0]
-    # drop the trailing "," that preceded the removed CTEs
-    head = head.rstrip().rstrip(",")
-    return head + "\nSELECT doc_a, doc_b, j FROM jac"
-
-
 @register("dedup_yield_curve", oracle=_yield_sql("duckdb"))
 def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup threshold planning: for Jaccard thresholds 0.5–0.9, the

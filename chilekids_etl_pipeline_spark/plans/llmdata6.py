@@ -239,13 +239,16 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix BROADCASTS, each partition scores its vectors with one
     vectorized numpy pass ((v−c)² summed over dims — N×k×d flops, no
     join expansion) and emits per-cluster partial (count, Σvec) rows;
-    the driver reduces the ≤ k×partitions partials into the next rounded
-    centroid matrix exactly like Spark MLlib's treeAggregate step. The
-    earlier all-SQL form (kept as the DuckDB oracle) expanded dims⋈
-    centroids to N·k·d join rows per iteration — the BLAS rewrite took
-    the idle sf1 wall 7.5 s → ~1 s. The only .collect()s are the k seed
-    vectors and the ≤ k×P partial-sum rows — bounded driver state, the
-    per-round checkpoint every production Lloyd keeps."""
+    the driver reduces the partial rows into the next rounded centroid
+    matrix exactly like Spark MLlib's treeAggregate step. The earlier
+    all-SQL form (kept as the DuckDB oracle) expanded dims⋈centroids to
+    N·k·d join rows per iteration — the BLAS rewrite took the idle sf1
+    wall 7.5 s → ~1 s. The only .collect()s are the k seed vectors and
+    the partial-sum rows; _partials emits per-ARROW-BATCH partials, so
+    the true bound is k × (rows / arrow_batch_size) rows (~440 at sf1
+    under the 10k default), not k × partitions — still trivially bounded
+    driver state, the per-round checkpoint every production Lloyd
+    keeps."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F

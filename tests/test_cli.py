@@ -126,6 +126,53 @@ def test_run_quarantines_parse_failures(spark, tmp_path):
     assert {r.raw_id for r in quar} == {"bad1"}
     assert quar[0].parse_failed_cols == "total_rub"
 
+    # Reruns must not re-offer quarantined rows: without the quarantine
+    # payload-hash anti-join, every run re-selects bad1, re-appends a
+    # duplicate quarantine row, and the "no new records" exit never
+    # fires while malformed raw rows exist (r8 advisor, medium).
+    assert run_incremental_elt(raw_dir, staging_dir) == 0
+    quar2 = spark.read.parquet(staging_dir + "_quarantine").collect()
+    assert len(quar2) == 1  # still exactly one quarantine row
+
+
+def test_legacy_layout_same_second_rerun_not_skipped(spark, tmp_path,
+                                                     values_file):
+    """A pre-_sink_id-layout staging target (only _batch_id present) must
+    still get the max(_batch_id)+1 bump: _merge injects _sink_id there,
+    so its replay guard would otherwise silently skip a same-second
+    rerun (r8 advisor, low)."""
+    from pyspark.sql import functions as F
+
+    raw_dir = str(tmp_path / "raw")
+    staging_dir = str(tmp_path / "staging")
+    run_load_sheets("S", "R", values_json=values_file, raw_dir=raw_dir)
+    assert run_incremental_elt(raw_dir, staging_dir) == 3
+
+    # strip _sink_id to simulate the legacy layout
+    legacy = spark.read.parquet(staging_dir).drop("_sink_id")
+    legacy.write.mode("overwrite").parquet(str(tmp_path / "legacy"))
+    spark.read.parquet(str(tmp_path / "legacy")).write.mode(
+        "overwrite"
+    ).parquet(staging_dir)
+    old_max = spark.read.parquet(staging_dir).agg(
+        F.max("_batch_id")
+    ).first()[0]
+
+    extra = {
+        "values": [
+            ["id", "Date", "Type", "Client", "Category", "Total RUB"],
+            ["r9", "05.02.2024", "Income", "Hooli", "ads", "7"],
+        ]
+    }
+    p = tmp_path / "extra.json"
+    p.write_text(json.dumps(extra))
+    run_load_sheets("S", "R", values_json=str(p), raw_dir=raw_dir)
+    assert run_incremental_elt(raw_dir, staging_dir) == 1
+    staged = spark.read.parquet(staging_dir)
+    assert {r.raw_id for r in staged.collect()} >= {"r1", "r2", "r9"}
+    new_max = staged.agg(F.max("_batch_id")).first()[0]
+    assert new_max > old_max
+
 
 def test_run_twice_same_second_applies_both_batches(spark, tmp_path,
                                                     values_file):
