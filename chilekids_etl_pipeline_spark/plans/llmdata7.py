@@ -13,6 +13,7 @@ gate window (imported last in plans.load_all()); rotates in next round.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.text import words_sql
 from ..sources.tables import load_table, maybe_rebalance
@@ -257,6 +258,24 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SN_WINDOW = 3  # sorted-neighborhood comparison window
 
+# base corpus + suffix-first sort key, shared verbatim by both engines:
+# the digit tail is the typo-stable part of the name, so records differing
+# only by a prefix/mid-string typo sort ADJACENT; key cardinality grows
+# with n, unlike a fixed block key (the r8 α=1.30 trap)
+_LINKAGE_KEYED = """
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    UNION ALL
+    SELECT c_custkey + 900000 AS c_custkey,
+           concat('Custoner', substr(c_name, 9)) AS c_name,
+           c_nationkey
+    FROM customer WHERE c_custkey % 40 = 0
+)
+SELECT c_custkey, c_name, c_nationkey,
+       concat(right(c_name, 10), left(c_name, 8)) AS sn_key
+FROM base
+"""
+
 
 def _linkage_sql(dialect: str) -> str:
     leads = ",\n           ".join(
@@ -277,22 +296,7 @@ def _linkage_sql(dialect: str) -> str:
         unpivot = f", LATERAL (SELECT unnest([{structs}]) AS p) u"
         pk, pn = "(p).k", "(p).n"
     return f"""
-WITH base AS (
-    SELECT c_custkey, c_name, c_nationkey FROM customer
-    UNION ALL
-    SELECT c_custkey + 900000 AS c_custkey,
-           concat('Custoner', substr(c_name, 9)) AS c_name,
-           c_nationkey
-    FROM customer WHERE c_custkey % 40 = 0
-),
-keyed AS (
-    -- suffix-first sort key: the digit tail is the typo-stable part of
-    -- the name, so records differing only by a prefix/mid-string typo
-    -- sort ADJACENT; cardinality grows with n, unlike a fixed block key
-    SELECT c_custkey, c_name, c_nationkey,
-           concat(right(c_name, 10), left(c_name, 8)) AS sn_key
-    FROM base
-),
+WITH keyed AS ({_LINKAGE_KEYED}),
 nb AS (
     SELECT c_custkey, c_name,
            {leads}
@@ -320,24 +324,140 @@ FROM scored WHERE edit_dist <= 2
 
 @register("record_linkage_blocked", oracle=_linkage_sql("duckdb"))
 def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record linkage via SORTED-NEIGHBORHOOD blocking (Hernández
-    & Stolfo) — the dirty-dimension dedup exact hashing cannot do
-    (typo'd re-entries of the same customer). Records sort per nation by
-    a suffix-first key (digit tail + name prefix: the tail is the
-    typo-stable part, so prefix/mid-string typo twins land adjacent),
-    each row compares against its next W=3 neighbors (_SN_WINDOW) via
-    lead() columns, and edit distance <= 2 confirms. Pair work is
-    O(n·W) BY CONSTRUCTION — the round-8 scaling curve measured the
-    previous equi-join blocking (nation × last-4-of-name) superlinear
+    """Fuzzy record linkage via DISTRIBUTED sorted-neighborhood blocking
+    (Hernández & Stolfo) — the dirty-dimension dedup exact hashing
+    cannot do (typo'd re-entries of the same customer). Records sort per
+    nation by a suffix-first key (digit tail + name prefix: the tail is
+    the typo-stable part, so prefix/mid-string typo twins land
+    adjacent), each row compares against its next W=3 same-nation
+    neighbors (_SN_WINDOW), and edit distance <= 2 confirms. Pair work
+    is O(n·W) BY CONSTRUCTION — the round-8 scaling curve measured the
+    original equi-join blocking (nation × last-4-of-name) superlinear
     (α=1.30 over the sf0.1→sf1 step) because its block-key cardinality
-    was FIXED (~25·10⁴ blocks), so block sizes, and with them
-    within-block pairs, grew with the corpus. Planted typo twins
-    ('Custoner' re-entries at +900000, edit distance 1) share the digit
-    tail and are always caught. One shuffle on the nation partition;
-    the unpivot is row-local. levenshtein is a built-in on both
-    engines."""
+    was FIXED, so block sizes grew with the corpus.
+
+    The r8 rewrite still had a residual 100×-scale ceiling (VERDICT r8
+    #2): `PARTITION BY c_nationkey` gives ~25 window tasks forever, so
+    each task sorts O(n/25) rows — a straggler at 1000 executors. This
+    round replaces the fixed-cardinality window with the standard
+    distributed construction: repartitionByRange on (nation, sn_key,
+    custkey) — P grows with the cluster — then (a) BODY pairs from
+    lead() windows over (range-partition id, nation), each task sorting
+    only O(n/P) rows, and (b) CROSS-BOUNDARY pairs from the first/last
+    W rows of every (partition, nation) segment — a ≤ 2·W·P·|nations|
+    row strip, bounded by cluster size not data size — re-windowed per
+    nation with the pair emitted only when it crosses partitions. The
+    strip provably reproduces exact global within-nation adjacency:
+    a ≤W-neighbor pair that crosses a partition has every between-row
+    inside the strip (each is within W of its own segment's head or
+    tail), so strip distance equals global distance; conversely any
+    strip pair spanning a >2W middle sees ≥2W strip rows between and is
+    dropped by the W-lead. Cost vs the r8 form: one extra full-data
+    exchange (range + window hash) — the price of removing the
+    fixed-cardinality sort straggler. Planted typo twins ('Custoner'
+    re-entries at +900000, edit distance 1) share the digit tail and
+    are always caught. levenshtein is a built-in on both engines; the
+    DuckDB oracle keeps the single-window per-nation form (identical
+    result set, exhaustively equality-tested vs the old Spark window
+    form in tests)."""
+    from pyspark.sql import Window
+
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_linkage_sql("spark"))
+    keyed = spark.sql(_LINKAGE_KEYED)
+    n_part = spark.sparkContext.defaultParallelism
+    part = keyed.repartitionByRange(
+        n_part, "c_nationkey", "sn_key", "c_custkey"
+    ).withColumn("pid", F.spark_partition_id())
+
+    wn = _SN_WINDOW
+    w = Window.partitionBy("pid", "c_nationkey").orderBy("sn_key", "c_custkey")
+    w_rev = Window.partitionBy("pid", "c_nationkey").orderBy(
+        F.desc("sn_key"), F.desc("c_custkey")
+    )
+    lead_cols = []
+    for i in range(1, wn + 1):
+        lead_cols += [
+            F.lead("c_custkey", i).over(w).alias(f"k{i}"),
+            F.lead("c_name", i).over(w).alias(f"n{i}"),
+        ]
+    ranked = part.select(
+        "c_custkey", "c_name", "c_nationkey", "sn_key", "pid",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w_rev).alias("rn_rev"),
+        *lead_cols,
+    )
+    ranked.persist()
+
+    def _explode_pairs(df):
+        return (
+            df.select(
+                "c_custkey", "c_name",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.col(f"k{i}").alias("k"),
+                            F.col(f"n{i}").alias("n"),
+                        )
+                        for i in range(1, wn + 1)
+                    ])
+                ).alias("p"),
+            )
+            .filter(F.col("p.k").isNotNull())
+            .select(
+                "c_custkey", "c_name",
+                F.col("p.k").alias("id_y"), F.col("p.n").alias("name_y"),
+            )
+        )
+
+    body = _explode_pairs(ranked)
+
+    strip = ranked.filter((F.col("rn") <= wn) | (F.col("rn_rev") <= wn))
+    wg = Window.partitionBy("c_nationkey").orderBy("sn_key", "c_custkey")
+    strip_leads = strip.select(
+        "c_custkey", "c_name", "pid",
+        *[
+            c
+            for i in range(1, wn + 1)
+            for c in (
+                F.lead("c_custkey", i).over(wg).alias(f"k{i}"),
+                F.lead("c_name", i).over(wg).alias(f"n{i}"),
+                F.lead("pid", i).over(wg).alias(f"bp{i}"),
+            )
+        ],
+    )
+    cross = (
+        strip_leads.select(
+            "c_custkey", "c_name", "pid",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.col(f"k{i}").alias("k"),
+                        F.col(f"n{i}").alias("n"),
+                        F.col(f"bp{i}").alias("bp"),
+                    )
+                    for i in range(1, wn + 1)
+                ])
+            ).alias("p"),
+        )
+        .filter(F.col("p.k").isNotNull() & (F.col("p.bp") != F.col("pid")))
+        .select(
+            "c_custkey", "c_name",
+            F.col("p.k").alias("id_y"), F.col("p.n").alias("name_y"),
+        )
+    )
+
+    lt = F.col("c_custkey") < F.col("id_y")
+    return (
+        body.unionByName(cross)
+        .select(
+            F.least("c_custkey", "id_y").alias("id_a"),
+            F.greatest("c_custkey", "id_y").alias("id_b"),
+            F.when(lt, F.col("c_name")).otherwise(F.col("name_y")).alias("name_a"),
+            F.when(lt, F.col("name_y")).otherwise(F.col("c_name")).alias("name_b"),
+            F.levenshtein("c_name", "name_y").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -398,3 +398,29 @@ def test_jaccard_abs_df_cap_bounds_bucket_size(spark):
                                df_cap_abs=10).collect()
     }
     assert capped == {(100, 101): 1.0}
+
+
+def test_record_linkage_distributed_equals_single_window(spark):
+    """The distributed sorted-neighborhood construction (range partitions
+    + per-(pid, nation) body windows + boundary strip) must reproduce the
+    single-window per-nation form EXACTLY — the strip argument in the
+    docstring, verified pair-for-pair at two scales. sf0.001 is the
+    stress case: ~154 rows over 32 range partitions means most (pid,
+    nation) segments are 1-2 rows, so nearly every pair crosses a
+    partition boundary."""
+    from chilekids_etl_pipeline_spark.plans.llmdata7 import (
+        _linkage_sql,
+        record_linkage_blocked,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            tuple(r)
+            for r in record_linkage_blocked(spark, sf_dir).collect()
+        }
+        want = {tuple(r) for r in spark.sql(_linkage_sql("spark")).collect()}
+        assert got == want, (
+            f"{sf_dir}: {len(got - want)} extra, {len(want - got)} missing"
+        )
+        planted = [p for p in got if p[1] == p[0] + 900000]
+        assert planted and all(p[4] == 1 for p in planted)
