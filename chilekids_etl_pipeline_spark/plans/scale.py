@@ -189,3 +189,128 @@ def build_all_marts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# planted hot-key join: the skew-stress probe promoted into the gate
+
+_SKEWP_SALT = 16
+_SKEWP_COLD_KEYS = 100000
+
+# deterministic planted power-law key over the unique lineitem rowid
+# (l_orderkey*8 + l_linenumber): an md5 coin sends ~50% of ALL rows to
+# key 0, the rest spread uniformly over 100k keys — the worst join-skew
+# shape (tools/skew_stress.py, SKEWSTRESS_sf1*.json). Integer-exact coin
+# compare (first 8 hex nibbles < 2^31) so both engines draw identically.
+_SKEWP_DIGEST = "md5(cast(l_orderkey * 8 + l_linenumber AS string))"
+
+
+def _skewp_key_sql(dialect: str) -> str:
+    if dialect == "spark":
+        coin = f"cast(conv(substr({_SKEWP_DIGEST}, 1, 8), 16, 10) AS bigint)"
+        spread = f"cast(conv(substr({_SKEWP_DIGEST}, 9, 8), 16, 10) AS bigint)"
+    else:
+        coin = f"cast(('0x' || substr({_SKEWP_DIGEST}, 1, 8)) AS bigint)"
+        spread = f"cast(('0x' || substr({_SKEWP_DIGEST}, 9, 8)) AS bigint)"
+    return (
+        f"CASE WHEN {coin} < 2147483648 THEN 0 "
+        f"ELSE 1 + {spread} % {_SKEWP_COLD_KEYS} END"
+    )
+
+
+def _skewp_oracle() -> str:
+    # the plain join computed ONCE, cross-joined with both strategy
+    # labels: the oracle literally STATES that every strategy must equal
+    # the unprotected plan's answer — the checksum-equality proof from
+    # the skew-stress probe, promoted into the per-round gate.
+    return f"""
+WITH fact AS (
+    SELECT {_skewp_key_sql('duckdb')} AS k, l_extendedprice
+    FROM lineitem
+),
+dim AS (
+    SELECT range AS k, cast(range % 97 AS int) AS w
+    FROM range(0, {_SKEWP_COLD_KEYS + 1})
+),
+plain AS (
+    SELECT CASE WHEN f.k = 0 THEN 'hot' ELSE 'cold' END AS key_class,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(count(DISTINCT f.k) AS bigint) AS n_keys,
+           cast(round(sum(cast(cast(f.l_extendedprice AS decimal(12,2)) * d.w
+                               AS decimal(18,2))), 2) AS double) AS total_weighted
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY 1
+)
+SELECT s.strategy, p.key_class, p.n_rows, p.n_keys, p.total_weighted
+FROM plain p
+CROSS JOIN (SELECT 'broadcast' AS strategy UNION ALL SELECT 'salted') s
+"""
+
+
+@register("skew_join_strategies", oracle=_skewp_oracle)
+def skew_join_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 skew-stress finding as a regression-checked entry: a
+    fact join where ~50% of all lineitem rows land on ONE planted key
+    (remainder uniform over 100k keys), executed through BOTH protected
+    strategies the catalog prescribes — explicit broadcast (the default
+    for any dim under the threshold) and the salted decomposition (dim
+    replicated across 16 sub-keys, fact salted by rowid; the structural
+    fix when both sides are too big to broadcast). The oracle computes
+    the plain unprotected join ONCE and asserts each strategy matches it
+    exactly — the checksum-equality proof from tools/skew_stress.py
+    (SKEWSTRESS_sf1_hot90.json) promoted into the per-round gate. Why
+    this matters at 100 TB: the probe measured that AQE's skew-join
+    split does NOT fire under its 256 MB default threshold while the hot
+    partition stalls a reducer (sort-merge 2.6-2.7 s vs salted 1.73 s vs
+    broadcast 1.02 s at sf1/hot90), so the catalog's layered strategy —
+    broadcast every dim that fits, salt when it doesn't, AQE as backstop
+    — is pinned here and in the plan test."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    fact = li.select(
+        F.expr(_skewp_key_sql("spark")).alias("k"),
+        "l_extendedprice",
+    )
+    dim = spark.range(0, _SKEWP_COLD_KEYS + 1).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("int").alias("w")
+    )
+
+    def _agg(joined: DataFrame, label: str) -> DataFrame:
+        return (
+            joined.groupBy(
+                F.when(F.col("k") == 0, "hot").otherwise("cold").alias("key_class")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col("k")).alias("n_keys"),
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice").cast("decimal(12,2)")
+                            * F.col("w")
+                        ).cast("decimal(18,2)")
+                    ),
+                    2,
+                )
+                .cast("double")
+                .alias("total_weighted"),
+            )
+            .select(F.lit(label).alias("strategy"), "*")
+        )
+
+    bcast = _agg(fact.join(F.broadcast(dim), "k"), "broadcast")
+
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SKEWP_SALT - 1)))
+    )
+    fact_salted = li.select(
+        F.expr(_skewp_key_sql("spark")).alias("k"),
+        "l_extendedprice",
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % _SKEWP_SALT)
+        .cast("int")
+        .alias("salt"),
+    )
+    salted = _agg(fact_salted.join(dim_salted, ["k", "salt"]), "salted")
+
+    return bcast.unionByName(salted)

@@ -524,3 +524,16 @@ def test_round8_rewrite_plan_shapes(spark):
     # grams are array slices (no concat_ws in the gram projection)
     plan = _plan(QS["contamination_span"](spark, SF_SMALL))
     assert "concat_ws" not in plan, "grams must join as array slices"
+
+
+def test_skew_join_strategies_plan_pins_protected_forms(spark):
+    """The planted-hot-key entry must execute through the protected join
+    forms it documents: the raw-key branch broadcasts the dim (no shuffle
+    of the skewed fact side), and the salted branch joins on (k, salt) so
+    a hot key spreads over 16 sub-keys. Never a cartesian."""
+    plan = _plan(QS["skew_join_strategies"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the salted branch's join condition carries the salt key
+    assert "salt" in plan
