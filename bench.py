@@ -201,6 +201,8 @@ EXTRA = [
     # streaming_histogram_replay are correctness gates whose wall is the
     # streaming engine's fixed startup+state cost, per the round-7 policy)
     "events_session_window_native",
+    # round-9: the planted hot-key strategy-equality entry
+    "skew_join_strategies",
 ]
 
 

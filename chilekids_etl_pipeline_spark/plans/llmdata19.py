@@ -26,7 +26,18 @@ def _idiv(dialect: str) -> str:
 
 
 _YC_N = 3  # shingle width (matches the dedup family)
-_YC_DF_MULT = 5  # df-cap: drop shingles present in > corpus/5 docs (20%)
+_YC_DF_MULT = 5  # relative df-cap: drop shingles in > corpus/5 docs (20%)
+# ABSOLUTE df-cap (BFF/WIMBD-style stop-gram bound), round 9: the
+# open-vocabulary scaling corpus measured this entry superlinear
+# (α=1.64, 2.5→110 s over a 10× step) with the relative cap alone —
+# on any realistic token distribution the head shingles ("the of and"
+# 3-grams) sit at a FIXED per-doc probability well under 20%, so their
+# buckets grow ∝ n and their pair contribution ∝ n². Capping every
+# bucket at an absolute df bounds per-shingle pairs at cap²/2, making
+# total candidate work linear in the shingle count — the same guard
+# operators/dedup.jaccard_pairs exposes as df_cap_abs. Both dialects
+# share the clause, so the gate stays exact.
+_YC_DF_ABS = 128
 _YC_GRID = ("0.5", "0.6", "0.7", "0.8", "0.9")
 
 
@@ -87,7 +98,8 @@ def _yield_sql(
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
-    SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_YC_DF_MULT} <= n
+    SELECT g FROM df CROSS JOIN corpus
+    WHERE n_docs * {_YC_DF_MULT} <= n AND n_docs <= {_YC_DF_ABS}
 ),
 shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
@@ -155,9 +167,12 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     once Spark-side (the standing CTE-inlining lesson); persisting the
     scored-pair table as well was A/B-tested and REJECTED (see the
     in-body note — ReusedExchange already shares the self-join between
-    its two consumers). Scaling note: α≈1.0-1.1 over sf0.1→sf1 on the
-    synthetic corpus is the corpus-saturation pair growth root-caused
-    under dedup_ngram_jaccard (SURVEY §6), not a plan defect.
+    its two consumers). Scaling note (round 9): the relative cap alone
+    measured SUPERLINEAR (α=1.64) on the open-vocabulary scaling corpus
+    — head shingles at a fixed per-doc probability under 20% grow their
+    buckets ∝ n — so candidates are now ALSO bounded by the absolute
+    stop-gram cap _YC_DF_ABS (see its comment); re-measured α=linear-or-
+    better on both corpora after the fix (SCALING_openvocab.json).
     Companions: similarity_histogram (the distribution),
     lsh_band_tuning (index sizing), dedup_minhash_lsh (the dedup
     itself)."""
