@@ -342,16 +342,21 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    nodes = (
-        edges0.select(F.col("a").alias("doc_id"))
-        .union(edges0.select("b"))
-        .distinct()
-        .persist()
-    )
     # orient (a = max, b = min) so round outputs are comparable as sets
     edges = edges0.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     ).distinct().localCheckpoint(eager=True)
+    # derive nodes from the CHECKPOINTED edges (same node set: orientation
+    # keeps both endpoints) — deriving from edges0 would re-run the whole
+    # upstream pair pipeline (e.g. the MinHash-LSH candidate join) a
+    # second time when nodes is first evaluated (round-9 A/B: the second
+    # LSH pass was ~40% of dedup_components' wall on the open-vocab corpus)
+    nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .union(edges.select("b"))
+        .distinct()
+        .persist()
+    )
     try:
         for _ in range(max_iter):
             sym = edges.union(

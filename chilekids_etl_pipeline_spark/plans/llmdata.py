@@ -493,7 +493,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted), emitted as 16-hex signature. Near-dup pairing by hamming
     distance is `operators.dedup.hamming_near_pairs` (blocked pigeonhole
     join), unit-tested separately."""
-    return simhash(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return simhash(
+        maybe_rebalance(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -543,7 +547,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 bits guarantees one identical block, so candidates come from block
     buckets, never O(n²). This is the production-shape SimHash path on a
     100 TB corpus: 8 bytes/doc signature, 4 index probes per doc."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = maybe_rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     exact = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -1035,7 +1041,9 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two hash aggregations (term frequencies, document frequencies) + a
     1-row broadcast of the corpus size — the distributed shape of every
     corpus-statistics weighting; no driver-side state."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = maybe_rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select("doc_id", F.explode(F.expr(_W_SPARK)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -1106,7 +1114,9 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccnet_perplexity_buckets: no-persist 4.8-5.4 s vs persist
     5.8-6.1 s — caching ~20M small struct rows costs more than
     re-running the columnar tokenize+explode)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = maybe_rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     w = docs.select("doc_id", F.expr(_W_SPARK).alias("w"))
     bg = w.select(
         "doc_id",

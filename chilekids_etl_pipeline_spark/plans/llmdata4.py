@@ -552,6 +552,12 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sub-linear growth diagnostic that spots corpus staleness (a flat
     tail means new data adds no new language). One shuffle to find each
     term's first occurrence, ten rows out; the cumulative window runs on
-    the 10-row aggregate, not the corpus."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    the 10-row aggregate, not the corpus. maybe_rebalance (round 9): on
+    an open-vocabulary corpus nearly every 3-gram is a distinct key, so
+    the explode + partial-agg stage is per-row-heavy and starves on the
+    sandbox's ~2-split parquet scan — measured 50.1 -> 2.25 s at the
+    ov1 scale with the widening exchange (no-op on a real cluster)."""
+    maybe_rebalance(
+        load_table(spark, sf_dir, "documents")
+    ).createOrReplaceTempView("documents")
     return spark.sql(_vocab_growth_sql("spark"))
