@@ -184,7 +184,12 @@ _ME_N = 5  # shingle width — 3-grams over this corpus's ~30-word vocab
 _ME_DF_MULT = 20
 
 
-def _mh_err_sql(dialect: str) -> str:
+def _mh_err_sql(dialect: str, shf_src: str | None = None) -> str:
+    """``shf_src`` lets the Spark side materialize the df-capped shingle
+    table once: the template references ``shf`` from FOUR consumers
+    (signature generation, per-doc sizes, both sides of the pair join),
+    and SQL inlining re-runs the explode + cap join per reference — the
+    same CTE-inlining lesson as dedup_yield_curve's sh_src seam."""
     idiv = _idiv(dialect)
     grams = shingles_sql(dialect, words_sql(dialect), _ME_N)
     ex = "explode" if dialect == "spark" else "unnest"
@@ -196,15 +201,18 @@ def _mh_err_sql(dialect: str) -> str:
         k_rows = f", LATERAL (SELECT unnest(range(0, {_MH_HASHES})) AS k) kk"
         h1 = "cast(('0x' || substr(md5(g), 1, 15)) AS bigint)"
         h2 = "cast(('0x' || substr(md5(g), 16, 13)) AS bigint)"
-    return f"""
-WITH docs AS (SELECT doc_id, text FROM documents),
-sh AS (SELECT doc_id, {ex}({grams}) AS g FROM docs),
+    shf_chain = f"""sh AS (SELECT doc_id, {ex}({grams}) AS g FROM docs),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
     SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_ME_DF_MULT} <= n
 ),
 shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
+""" if shf_src is None else f"""shf AS (SELECT doc_id, g FROM {shf_src}),
+"""
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{shf_chain}
 -- 12-hash Carter-Wegman MinHash signature: ONE md5 per shingle
 -- (h1, h2), permutation k evaluated as h1 + k*h2 (Broder; bounds
 -- h1 < 2^60, h2 < 2^52 keep 64-bit arithmetic overflow-free) — the
@@ -267,9 +275,27 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction the dedup entries ship (one md5 per shingle, pairwise-
     independent h1 + k·h2 permutations, grouped min), so the audit
     measures the production estimator at production cost. Pair work is bounded by the same
-    inverted-index join as similarity_histogram. Companions:
-    dedup_lsh_recall (candidate recall), lsh_band_tuning (S-curve),
-    ndv_profile_error (the sketch-audit pattern for distinct counts)."""
+    inverted-index join as similarity_histogram. Perf: the df-capped
+    shingle table has FOUR consumers in the template (sig gen, sizes,
+    both pair-join sides) — materialized once Spark-side via the
+    shf_src seam (round-9 same-session idle A/B at the ov1 scale:
+    inlined median 18.6 s -> persisted 15.2 s, n=3 each; the standing
+    CTE-inlining lesson).
+    Companions: dedup_lsh_recall (candidate recall), lsh_band_tuning
+    (S-curve), ndv_profile_error (the sketch-audit pattern for distinct
+    counts)."""
     docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
-    return spark.sql(_mh_err_sql("spark"))
+    grams = shingles_sql("spark", words_sql("spark"), _ME_N)
+    shf = spark.sql(f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+sh AS (SELECT doc_id, explode({grams}) AS g FROM docs),
+df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
+corpus AS (SELECT count(*) AS n FROM docs),
+keep AS (
+    SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_ME_DF_MULT} <= n
+)
+SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g
+""")
+    shf.persist().createOrReplaceTempView("mhe_shf_mat")
+    return spark.sql(_mh_err_sql("spark", shf_src="mhe_shf_mat"))
