@@ -948,41 +948,40 @@ ON d.doc_id = f.doc_id
 @register("doc_fingerprint", oracle=_fingerprint_oracle())
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints: rolling md5 of word 4-grams, minimum per
-    sliding window of 5 — the standard robust near-copy fingerprint set."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"""CASE WHEN size({_W_SPARK}) >= 4 THEN
-                    transform(sequence(0, size({_W_SPARK}) - 4),
-                        i -> md5(concat_ws(' ',
-                            element_at({_W_SPARK}, i + 1),
-                            element_at({_W_SPARK}, i + 2),
-                            element_at({_W_SPARK}, i + 3),
-                            element_at({_W_SPARK}, i + 4))))
-                    ELSE array() END"""
-            )
-        ).alias("pos", "h"),
-    )
-    sel = grams.selectExpr(
-        "doc_id",
-        "pos",
-        "min(h) OVER (PARTITION BY doc_id ORDER BY pos "
-        "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp",
-        "max(pos) OVER (PARTITION BY doc_id) AS max_pos",
-    )
-    fps = sel.filter(F.col("pos") <= F.col("max_pos") - 4).select("doc_id", "fp").distinct()
-    agg = fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"), F.min("fp").alias("min_fp")
-    )
+    sliding window of 5 — the standard robust near-copy fingerprint set.
+    Execution: winnowing is per-document, so the whole computation is
+    row-local higher-order array work (transform + slice/array_min for
+    the window minima, array_distinct for the fingerprint set) inside
+    one codegen'd projection — zero shuffles. The previous formulation
+    (posexplode to one row per gram + two doc-partitioned windows +
+    distinct + groupBy + join back) paid four shuffles of the exploded
+    gram table for the same per-doc answer and measured α=1.014 /
+    61.6 s at ov1; this plan never materializes the grams off-row.
+    maybe_rebalance widens the local scan so the md5-per-gram projection
+    isn't starved onto the ~2 parquet splits (the batch-2 lesson)."""
+    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     return (
-        docs.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
+        docs.selectExpr("doc_id", f"{_W_SPARK} AS w")
+        .selectExpr(
             "doc_id",
-            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
-            "min_fp",
+            """CASE WHEN size(w) >= 4 THEN
+                   transform(sequence(1, size(w) - 3),
+                       p -> md5(concat_ws(' ',
+                           element_at(w, p), element_at(w, p + 1),
+                           element_at(w, p + 2), element_at(w, p + 3))))
+               ELSE array() END AS hs""",
+        )
+        .selectExpr(
+            "doc_id",
+            """CASE WHEN size(hs) >= 5 THEN
+                   array_distinct(transform(sequence(1, size(hs) - 4),
+                       p -> array_min(slice(hs, p, 5))))
+               ELSE array() END AS fps""",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(size(fps) AS bigint) AS n_fingerprints",
+            "array_min(fps) AS min_fp",
         )
     )
 
