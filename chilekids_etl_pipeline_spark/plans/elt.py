@@ -200,8 +200,15 @@ GROUP BY l_returnflag
 def normalize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src/transform.py:18-117 normalization, as whole-stage-codegen column
     exprs (money cleaning incl. (x)-negatives, currency symbols, NBSP,
-    separator disambiguation; multi-format date parsing)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    separator disambiguation; multi-format date parsing).
+    maybe_rebalance widens the local scan: the regex-heavy parse ran on
+    the 3 parquet splits of the sf0.1 lineitem file (batch-6 audit
+    measured a FLAT 7.6/7.0 s — rows and splits both grow 10× so the
+    per-task work was constant); widening drops sf0.1 to 2.7 s. At sf1
+    the scan is already 32 splits and the helper now skips the exchange
+    (sf1 walls statistically unchanged, 7-9 s ambient band). No-op off
+    local[*]."""
+    li = maybe_rebalance(load_table(spark, sf_dir, "lineitem"))
     messy = li.select(
         "l_returnflag",
         F.expr(_messy_money("spark")).alias("money_str"),

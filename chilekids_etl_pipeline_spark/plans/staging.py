@@ -142,9 +142,14 @@ def staging_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly one split, and at cluster scale a few fat input files would
     # starve the parse the same way — the shuffle moves ~raw bytes once and
     # buys full parallelism for the 41-column normalization above it.
+    # force=True: even at 32 natural splits the round-robin balance wins
+    # here (sf1 A/B: 14.6 s balanced vs 15.7 s on raw lopsided splits) —
+    # the per-row parse is heavy enough that even task sizes beat the
+    # shuffle cost, unlike the thin-projection callers.
     raw = maybe_rebalance(
         li.select("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice",
-                  "l_returnflag", "l_shipdate")
+                  "l_returnflag", "l_shipdate"),
+        force=True,
     ).select("l_orderkey", "l_linenumber", F.expr(_payload_sql("spark")).alias("payload"))
     out = normalize_staging(raw, "payload")
     proj = [F.col("l_orderkey"), F.col("l_linenumber")]

@@ -32,7 +32,7 @@ TABLES = (
 REBALANCE_CONF = "spark_graft.local_rebalance"
 
 
-def maybe_rebalance(df: DataFrame) -> DataFrame:
+def maybe_rebalance(df: DataFrame, force: bool = False) -> DataFrame:
     """Widen a scan-bound DataFrame across cores — ONLY in degenerate layouts.
 
     The sandbox's test tables are single-row-group parquet files, so a scan
@@ -59,6 +59,24 @@ def maybe_rebalance(df: DataFrame) -> DataFrame:
             master = ""
         if not master.startswith("local"):
             return df
+        # Skip the widening exchange when the scan already saturates the
+        # cores: the test parquet grows real splits with size (sf1
+        # lineitem = 32), and repartitioning 32 -> 32 is usually a
+        # pure-overhead shuffle of the whole fact table (q1 at sf1:
+        # 1.69 s with it, 1.20 s without). ``force=True`` keeps the
+        # exchange even then, for plans whose per-row work is so heavy
+        # that EVEN task sizes beat the shuffle cost — natural splits
+        # follow row-group boundaries and can be lopsided
+        # (staging_records' 41-column normalization at sf1: 14.6 s
+        # balanced vs 15.7 s on raw splits). getNumPartitions is
+        # plan-time only — nothing executes.
+        try:
+            if (not force
+                    and df.rdd.getNumPartitions()
+                    >= spark.sparkContext.defaultParallelism):
+                return df
+        except Exception:
+            pass
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
