@@ -114,8 +114,14 @@ _PERTURB_SPARK = "concat(array(element_at(vec, 1) + cast(0.05 AS double)), slice
 
 
 def _vecs_spark(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(VEC_AS_DOUBLE).alias("vec")
+    # maybe_rebalance: the embeddings parquet is 1-2 splits at every test
+    # scale, so the per-row vector lambdas downstream (hyperplane
+    # projections, norms, dot products) starve on 2 of 32 cores without
+    # the widening — dedup_embedding_cosine sf1 A/B: 14.9 -> 6.5 s median.
+    base = maybe_rebalance(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr(VEC_AS_DOUBLE).alias("vec")
+        )
     )
     planted = (
         base.filter(F.col("vec_id") % 25 == 0)
