@@ -354,7 +354,8 @@ def matryoshka_dim_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement/regret arithmetic stays in Catalyst."""
     from ..operators.similarity import prefix_top1
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # gated widening (2-split embeddings scan; sf1 A/B: 1.5 -> 0.8 s)
+    emb = maybe_rebalance(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> cast(x AS double))"

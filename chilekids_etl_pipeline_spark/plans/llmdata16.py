@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import words_sql
 from ..operators.similarity import VEC_AS_DOUBLE, band_topk_cosine
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 
@@ -218,7 +218,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the anchor set is the bounded side (it refuses > 100k
     anchors); corpus-vs-corpus mining goes through the ANN cell paths
     like semantic_dedup."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # gated widening (2-split embeddings scan starves the BLAS kernel;
+    # sf1 A/B: 3.5 -> 0.9 s)
+    emb = maybe_rebalance(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr(VEC_AS_DOUBLE).alias("vec"), "label"
     )
     anchors = emb.filter(F.col("vec_id") % _HARD_NEG_EVERY == 0)

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import words_sql
 from ..operators.similarity import topk_cosine
-from ..sources.tables import load_table
+from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
 
@@ -222,7 +222,9 @@ def quantization_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup. Companions: embedding_quantize_int8 (storage/error),
     matryoshka_dim_fidelity (truncation impact), knn_topk_cosine
     (exact baseline)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # gated widening (2-split embeddings scan starves the vector
+    # lambdas + BLAS kernel; sf1 A/B: 3.4 -> 2.0 s)
+    emb = maybe_rebalance(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x AS double))").alias("vec"),
         F.expr(

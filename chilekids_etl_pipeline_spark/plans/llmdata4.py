@@ -334,7 +334,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    # gated widening: the embeddings parquet is 1-2 splits at every test
+    # scale; without it the norm/assignment lambdas run on 2 of 32 cores
+    # (sf1 A/B: 10.4 -> 2.4 s median)
+    maybe_rebalance(
+        load_table(spark, sf_dir, "embeddings")
+    ).createOrReplaceTempView("embeddings")
     norms = spark.sql(_sem_norms_sql("spark"))
     norms.persist().createOrReplaceTempView("sem_norms_mat")
     cells = spark.sql(_sem_cells_sql("spark", norms_src="sem_norms_mat"))
