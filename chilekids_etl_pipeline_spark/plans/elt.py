@@ -434,8 +434,11 @@ def raw_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok rows resolve their pk with the reference's precedence
     (pk > id > row_id > uuid, case-insensitive, last duplicate key wins).
     Pure per-row column work — classification at 100 TB is a projection,
-    and the quarantine split is a partition-local filter, no shuffle."""
-    ev = load_table(spark, sf_dir, "events").select(
+    and the quarantine split is a partition-local filter, no shuffle
+    (the gated maybe_rebalance is a local-only widening for the 3-split
+    test scan, where the JSON parse starved: sf1 interleaved A/B
+    1.79 → 0.83 s; a no-op on a cluster)."""
+    ev = maybe_rebalance(load_table(spark, sf_dir, "events")).select(
         "event_id", F.expr(_quarantine_payload_sql("spark")).alias("payload")
     )
     inlist = ", ".join(f"'{k}'" for k in _PK_KEYS)
