@@ -496,6 +496,39 @@ def test_rebalance_gate_auto_widens_local_scan(spark):
         spark.conf.set(REBALANCE_CONF, "auto")
 
 
+def test_rebalance_auto_skips_saturated_scan_and_force_overrides(spark):
+    """Round-9 conditional widening: auto mode must SKIP the exchange
+    when the input already has >= defaultParallelism partitions (a
+    32->32 repartition shuffles the fact table for nothing — q1 at sf1
+    measured 1.69 s with it vs 1.20 s without), while force=True keeps
+    it (staging_records' heavy parse wants even task sizes: 14.6 s
+    balanced vs 15.7 s on raw splits), and off beats force."""
+    from chilekids_etl_pipeline_spark.sources.tables import (
+        REBALANCE_CONF,
+        load_table,
+        maybe_rebalance,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    small = load_table(spark, SF_SMALL, "lineitem")
+    saturated = small.repartition(par)  # input already at full width
+
+    spark.conf.set(REBALANCE_CONF, "auto")
+    # under-parallel input still widens
+    assert "RoundRobinPartitioning" in _plan(maybe_rebalance(small))
+    # saturated input: auto skips (returns the input unchanged)
+    assert maybe_rebalance(saturated) is saturated
+    # force keeps the widening even at saturation
+    assert maybe_rebalance(saturated, force=True) is not saturated
+    # off beats force
+    spark.conf.set(REBALANCE_CONF, "off")
+    try:
+        assert maybe_rebalance(saturated, force=True) is saturated
+        assert maybe_rebalance(small, force=True) is small
+    finally:
+        spark.conf.set(REBALANCE_CONF, "auto")
+
+
 def test_round8_rewrite_plan_shapes(spark):
     """Pin the round-8 weak-list rewrites so a refactor can't silently
     reintroduce the re-execution patterns the idle sf1 A/Bs removed."""
