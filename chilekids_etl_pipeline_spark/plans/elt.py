@@ -334,8 +334,11 @@ def elt_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     5th edited), anti-join against staged hashes to find changed records,
     last-write-wins upsert into staging, then the monthly mart — extract,
     detect, merge, aggregate in a single Catalyst-optimized DAG instead of
-    four driver round-trips."""
-    ev = load_table(spark, sf_dir, "events")
+    four driver round-trips. The gated scan widening feeds BOTH
+    payload-hash projections (raw + staging derive from the same scan)
+    from a full-width exchange instead of the 3-split local scan
+    (sf1 interleaved A/B: 4.3 → 2.8 s median; no-op on a cluster)."""
+    ev = maybe_rebalance(load_table(spark, sf_dir, "events"))
     cur = ev.withColumn(
         "value",
         F.when(F.col("event_id") % 5 == 0, F.col("value") + 10).otherwise(F.col("value")),
