@@ -616,12 +616,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     that projection sits within 0.05 of zero, and a pair is lost only if
     all 4 bands contain a flipped bit simultaneously."""
     base, planted = _vecs_spark(spark, sf_dir)
-    nb = hyperplane_bands(planted, num_planes=12, band_size=3).select(
-        F.col("vec_id").alias("new_id"), "band", "band_sig"
-    )
-    cb = hyperplane_bands(base, num_planes=12, band_size=3).select(
-        F.col("vec_id").alias("dup_of"), "band", "band_sig"
-    )
+    # Corpus-adaptive banding (the sqrt-K lesson from semantic_dedup,
+    # round 9): with a FIXED band width the candidate count grows
+    # ∝ n²/2^bits — measured 6.6M pairs at sf1 under the original 4×3
+    # banding (8 buckets/band cannot discriminate 20k vectors; the
+    # two-point α=0.49 hid the quadratic term behind the stage floor).
+    # Sizing the band so the expected bucket population stays ~64
+    # (band_size = log2(n/64), 4 OR-amplified bands) keeps candidates
+    # ~64·n — linear. sf1: 6.6M → 310k candidates. Recall stays
+    # gate-proven: the oracle is the exact all-pairs scan, so a green
+    # row PROVES no ≥0.98 pair was lost under the wider bands.
+    import math
+
+    n_corpus = base.count()
+    band_size = max(3, math.ceil(math.log2(max(n_corpus, 2) / 64)))
+    nb = hyperplane_bands(
+        planted, num_planes=4 * band_size, band_size=band_size
+    ).select(F.col("vec_id").alias("new_id"), "band", "band_sig")
+    cb = hyperplane_bands(
+        base, num_planes=4 * band_size, band_size=band_size
+    ).select(F.col("vec_id").alias("dup_of"), "band", "band_sig")
     cand = nb.join(cb, ["band", "band_sig"]).select("new_id", "dup_of").distinct()
     q = with_norm(planted, "vec", "qnorm").select(
         F.col("vec_id").alias("new_id"), F.col("vec").alias("qvec"), "qnorm"
