@@ -767,7 +767,11 @@ norms AS (
            sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
     FROM base
 ),
-cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM norms WHERE vec_id < 8),
+cent AS (
+    SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM norms
+    WHERE vec_id < (SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS INT))
+                    FROM base)
+),
 assign AS (
     SELECT vec_id, centroid_id,
            row_number() OVER (
@@ -798,15 +802,25 @@ FROM (
 
 @register("ann_ivf_cosine", oracle=_IVF_ORACLE)
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: 8 deterministic centroids (stand-in for k-means|| on a
-    sample), corpus inverted into nearest-centroid cells, queries probe
-    their 2 nearest cells and rank exact cosine within them. Same query
-    set as knn_topk_cosine so recall against the exact baseline is directly
-    measurable. The cell join bounds pairwise work to ~nprobe/k of brute
-    force — the scale path when hyperplane LSH buckets skew."""
+    """IVF-Flat ANN: sqrt-scaled deterministic centroids (stand-in for
+    k-means|| on a sample), corpus inverted into nearest-centroid cells,
+    queries probe their 2 nearest cells and rank exact cosine within
+    them. Same query set as knn_topk_cosine so recall against the exact
+    baseline is directly measurable. The cell join bounds pairwise work
+    to ~nprobe/k of brute force — the scale path when hyperplane LSH
+    buckets skew. The cell count follows the IVF balance rule
+    K = max(8, ceil(sqrt(n)/2)) — the semantic_dedup sqrt-K lesson: a
+    FIXED K makes probe work quadratic (cell population ∝ n, probes ×
+    population ∝ n²); sqrt-K keeps both assignment and probe work at
+    n^1.5 with bounded cells. Both dialects derive K from the same
+    count, so results stay oracle-identical at every scale."""
+    import math
+
     base, _ = _vecs_spark(spark, sf_dir)
+    n = base.count()
+    k_cells = max(8, math.ceil(math.sqrt(n) / 2))
     queries = base.filter(F.col("vec_id") % 50 == 0)
-    centroids = base.filter(F.col("vec_id") < 8)
+    centroids = base.filter(F.col("vec_id") < k_cells)
     return ann_ivf_topk(queries, base, centroids, k=5, nprobe=2)
 
 
