@@ -52,7 +52,18 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scaledata/sf1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list: replicate ONLY these tables (dims always copy). "
+        "Documents/embeddings are sentinel-capped at ~16 replicas of the "
+        "driver corpus, so a deeper business-table-only step (e.g. sf3 = "
+        "--src .scaledata/sf1 --k 3 --tables "
+        "customer,supplier,part,orders,lineitem,events) skips them; copy "
+        "their sf1 parquet alongside so every entry still loads.",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
@@ -60,6 +71,8 @@ def main() -> int:
         return f"'{args.src}/{t}.parquet'"
 
     def emit(t: str, sql: str) -> None:
+        if only is not None and t not in only and t not in ("region", "nation"):
+            return
         con.execute(
             f"COPY ({sql}) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"
         )
@@ -91,10 +104,13 @@ def main() -> int:
     def small_stride(mx: int, base: int) -> int:
         return ((mx // base) + 1) * base
 
-    s_doc = small_stride(max_key("documents", "doc_id"), 300)
-    s_vec = small_stride(max_key("embeddings", "vec_id"), 50)
-    assert max_key("documents", "doc_id") + (k - 1) * s_doc < 100_000
-    assert max_key("embeddings", "vec_id") + (k - 1) * s_vec < 100_000
+    s_doc = s_vec = 0
+    if only is None or "documents" in only:
+        s_doc = small_stride(max_key("documents", "doc_id"), 300)
+        assert max_key("documents", "doc_id") + (k - 1) * s_doc < 100_000
+    if only is None or "embeddings" in only:
+        s_vec = small_stride(max_key("embeddings", "vec_id"), 50)
+        assert max_key("embeddings", "vec_id") + (k - 1) * s_vec < 100_000
 
     rep = f"(SELECT unnest(range(0, {k})) AS i)"
 

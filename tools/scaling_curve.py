@@ -55,6 +55,9 @@ def main() -> int:
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/root/repo/.scaledata/sf1")
     ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--factor", type=float, default=10.0,
+                    help="data-size ratio big/small (alpha = "
+                         "log(t_big/t_small) / log(factor))")
     ap.add_argument("--out", default="SCALING_sf01_sf1.json")
     ap.add_argument("queries", nargs="*",
                     help="override the default query list")
@@ -83,7 +86,7 @@ def main() -> int:
         return round(best, 3)
 
     record: dict = {
-        "small": args.small, "big": args.big, "factor": 10.0,
+        "small": args.small, "big": args.big, "factor": args.factor,
         "timing": f"min of {args.n} idle runs after 1 warm-up, noop sink",
         "caveat": "fixed per-stage floor (~0.3-0.5 s) biases alpha down "
                   "for small walls; read exponents on walls >> floor",
@@ -94,7 +97,9 @@ def main() -> int:
             continue
         t_small = wall_min(qs[name], args.small)
         t_big = wall_min(qs[name], args.big)
-        alpha = round(math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3)
+        alpha = round(
+            math.log(max(t_big, 1e-3) / max(t_small, 1e-3))
+            / math.log(args.factor), 3)
         record["queries"][name] = {
             "sf0.1_s": t_small, "sf1_s": t_big, "alpha": alpha,
         }
