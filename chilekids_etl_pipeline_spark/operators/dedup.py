@@ -239,6 +239,47 @@ def verify_jaccard(cand: DataFrame, sh: DataFrame, min_jaccard: float, id_col: s
     )
 
 
+def drop_hot_shingles(sh: DataFrame, df_cap_abs: int) -> DataFrame:
+    """Remove shingles above an ABSOLUTE document frequency before
+    signature generation — the BFF/WIMBD-style stop-gram bound applied
+    at the MinHash input.
+
+    Why this exists (round-9 restart, measured on the open-vocabulary
+    scaling corpus): any shingle whose df grows with the corpus —
+    boilerplate phrases, license headers, saturated head n-grams —
+    eventually supplies ALL the minhashes of some band for every doc
+    that carries it, so those docs collide into ONE bucket whose size
+    grows ∝ n and whose candidate pairs grow ∝ n². Measured at ov1 →
+    ov1.8 (realistic Zipf token statistics, 10 boilerplate phrases at
+    df ≈ n/10): candidate pairs 30.1M → 98.7M over a 1.8× step (pure
+    n²; 99.2%% of pairs from buckets > 100 docs; verify yield 4839
+    pairs — 0.016%% precision), wall α = 1.553. With the cap the same
+    corpora produce 252k → 495k candidates (120× fewer, ~linear) and
+    the mega-buckets vanish (max bucket 3814 → 186). An absolute cap is
+    chosen over a relative df/n one because it subsumes it
+    asymptotically — any df ∝ n type crosses a fixed bound — without
+    the extra corpus-count pass and 1-row broadcast join. The hot set
+    is tiny by construction (few types can exceed the cap), so it is
+    removed with a broadcast anti-join — no shuffle added.
+
+    The resulting semantics are stop-gram-filtered Jaccard, the same
+    discipline as ``jaccard_pairs(df_cap_denom=...)``: signatures AND
+    verification should both read the filtered shingle table. A pair of
+    exact duplicates still shares every surviving shingle (J = 1), and
+    near-dup similarity is measured on content, not boilerplate — which
+    is what a crawl-scale dedup wants. On the driver gate corpora
+    (sf0.001/0.01/0.1) NO shingle type reaches df 256, so the filter is
+    a measured no-op there and gate results are unchanged.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap_abs)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -33,6 +33,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     connected_components_star,
+    drop_hot_shingles,
     exact_duplicates,
     hamming_near_pairs,
     jaccard_pairs,
@@ -213,15 +214,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 21. MinHash + LSH dedup
 
 
+# Absolute stop-gram bound on the MinHash INPUT (see operators/dedup.py
+# drop_hot_shingles): df-growing shingles (boilerplate, saturated heads)
+# otherwise minhash whole sources into one band bucket — candidates ∝ n²
+# (measured 30.1M → 98.7M over a 1.8× open-vocab step; 252k → 495k with
+# the cap). A no-op on the driver gate corpora (max df there < 256).
+_MINHASH_DF_ABS = 256
+
 _MINHASH_ORACLE = f"""
 WITH {_DOCS_AUG_DUCK},
 wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
 sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+hot AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING count(*) > {_MINHASH_DF_ABS}
+),
+shf AS (
+    SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
 hd AS (
     SELECT doc_id,
            cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS h1,
            cast(('0x' || substr(md5(shingle), 16, 13)) AS bigint) AS h2
-    FROM sh
+    FROM shf
 ),
 mh AS (
     SELECT doc_id, seed, min(h1 + seed * h2) AS mh
@@ -239,12 +254,12 @@ cand AS (
     JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
                 AND a.doc_id < b.doc_id
 ),
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+counts AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 common AS (
     SELECT c.doc_a, c.doc_b, count(*) AS c
     FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    JOIN shf sa ON sa.doc_id = c.doc_a
+    JOIN shf sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, c / (ca.n + cb.n - c) AS jaccard
@@ -261,15 +276,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shingle) → 4 bands × 3 → bucket join for candidates →
     exact-Jaccard verify ≥ 0.5. The LSH band join is
     what makes near-dup detection feasible on a 100 TB corpus: signatures
-    are ~100 bytes/doc and only bucket collisions are verified."""
-    # The shingle table feeds signature generation AND both sides of the
-    # verify join — materialize it once (LSH pipelines persist/checkpoint
-    # the shingle/signature tables for exactly this reuse; Spark's storage
-    # memory is bounded, eviction is safe because lineage recomputes).
-    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
-    bands = minhash_bands(sh, num_hashes=12, band_size=3)
+    are ~100 bytes/doc and only bucket collisions are verified.
+
+    Signatures and verification both read the STOP-GRAM-FILTERED shingle
+    table (df > {_MINHASH_DF_ABS} dropped — drop_hot_shingles): without
+    the cap, a boilerplate phrase shared by n/10 docs eventually supplies
+    every minhash of some band for those docs and the bucket join goes
+    quadratic (measured α=1.553 → mega-buckets of 0.016%% verify
+    precision on the open-vocab scaling corpus; ~linear with the cap).
+    On the driver gate corpora no shingle reaches the cap, so the filter
+    is a verified no-op there."""
+    # The filtered shingle table feeds signature generation AND both
+    # sides of the verify join — materialize it once (LSH pipelines
+    # persist/checkpoint the shingle/signature tables for exactly this
+    # reuse; Spark's storage memory is bounded, eviction is safe because
+    # lineage recomputes). The RAW table is deliberately NOT persisted:
+    # its two consumers (the df aggregation and the anti-join left side)
+    # re-run the cheap scan+explode, which measured faster than a second
+    # cache materialization at every scale (sf0.1 2.66 vs 3.28 s, sat-sf1
+    # 6.3 vs 7.2 s). A window-count df formulation (one shingle-keyed
+    # exchange, no broadcast) measured faster still at test scale but is
+    # REJECTED: it ships every row of a hot shingle to one task — the
+    # n/10-row boilerplate partition is a straggler at crawl scale,
+    # while the groupBy df is map-side combined and the anti-join is
+    # broadcast, so no shingle-keyed exchange of the big table exists.
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
+    shf = drop_hot_shingles(sh, df_cap_abs=_MINHASH_DF_ABS).persist()
+    bands = minhash_bands(shf, num_hashes=12, band_size=3)
     cand = lsh_candidate_pairs(bands)
-    return verify_jaccard(cand, sh, 0.5)
+    return verify_jaccard(cand, shf, 0.5)
 
 
 # ---------------------------------------------------------------------------
