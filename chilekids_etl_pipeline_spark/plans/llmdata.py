@@ -348,11 +348,18 @@ _INCR_DEDUP_ORACLE = f"""
 WITH {_DOCS_AUG_DUCK.lstrip()},
 wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
 sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+hot AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING count(*) > {_MINHASH_DF_ABS}
+),
+shf AS (
+    SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
 hd AS (
     SELECT doc_id,
            cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS h1,
            cast(('0x' || substr(md5(shingle), 16, 13)) AS bigint) AS h2
-    FROM sh
+    FROM shf
 ),
 mh AS (
     SELECT doc_id, seed, min(h1 + seed * h2) AS mh
@@ -370,12 +377,12 @@ cand AS (
     JOIN bands c ON n.band = c.band AND n.band_sig = c.band_sig
     WHERE n.doc_id >= 100000 AND c.doc_id < 100000
 ),
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+counts AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 common AS (
     SELECT cd.new_id, cd.corpus_id, count(*) AS c
     FROM cand cd
-    JOIN sh sa ON sa.doc_id = cd.new_id
-    JOIN sh sb ON sb.doc_id = cd.corpus_id AND sb.shingle = sa.shingle
+    JOIN shf sa ON sa.doc_id = cd.new_id
+    JOIN shf sb ON sb.doc_id = cd.corpus_id AND sb.shingle = sa.shingle
     GROUP BY cd.new_id, cd.corpus_id
 )
 SELECT new_id, corpus_id, c / (ca.n + cb.n - c) AS jaccard
@@ -393,9 +400,15 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of dedup_minhash_lsh, mirroring the reference's changed-records
     anti-join philosophy (transform.py:200) at corpus scale. At 100 TB the
     corpus band table is a bucketed, persisted index; each batch joins
-    against it without recomputing corpus signatures."""
-    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
-    bands = minhash_bands(sh, num_hashes=12, band_size=3)
+    against it without recomputing corpus signatures. Signatures use the
+    SAME df > {_MINHASH_DF_ABS} stop-gram cap as dedup_minhash_lsh (one
+    signature definition for the corpus index and its incremental twin —
+    and without it the batch×corpus boilerplate buckets grow ∝ n² once
+    the batch scales with the corpus, the %10 planted convention here).
+    A no-op on the driver gate corpora, like the main entry."""
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
+    shf = drop_hot_shingles(sh, df_cap_abs=_MINHASH_DF_ABS).persist()
+    bands = minhash_bands(shf, num_hashes=12, band_size=3)
     new_b = bands.filter(F.col("doc_id") >= 100000).select(
         F.col("doc_id").alias("new_id"), "band", "band_sig"
     )
@@ -407,9 +420,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "corpus_id")
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    counts = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shf.select(F.col("doc_id").alias("new_id"), "shingle")
+    b = shf.select(F.col("doc_id").alias("corpus_id"), "shingle")
     common = (
         cand.join(a, "new_id")
         .join(b, ["corpus_id", "shingle"])
