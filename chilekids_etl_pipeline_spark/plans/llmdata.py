@@ -506,7 +506,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_cte(source: str = "documents") -> str:
-    """DuckDB CTE chain computing sig(doc_id, simhash) over ``source``."""
+    """DuckDB CTE chain computing sig(doc_id, simhash) over ``source``.
+
+    Mirrors operators/dedup.py simhash: token contributions are weighted
+    by the integer idf class floor(log2(n_docs/df)) capped at 7 (pure
+    integer CASE — bit-identical across engines), which decorrelates
+    signatures dominated by Zipf-head tokens (the measured block-bucket
+    n² on realistic corpora; see the operator docstring)."""
     nib = f"(strpos('{HEX}', substr(h, 1 + pos // 4, 1)) - 1)"
     mask = "(CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)"
     return f"""toks AS (
@@ -514,10 +520,20 @@ def _simhash_cte(source: str = "documents") -> str:
     FROM (SELECT doc_id, unnest({_W_DUCK}) AS tok FROM {source})
     GROUP BY doc_id, tok
 ),
-th AS (SELECT doc_id, cnt, md5(tok) AS h FROM toks),
+nd AS (SELECT count(*) AS n FROM {source}),
+wt AS (
+    SELECT tok,
+           CASE WHEN q >= 64 THEN 7 WHEN q >= 32 THEN 6 WHEN q >= 16 THEN 5
+                WHEN q >= 8 THEN 4 WHEN q >= 4 THEN 3 WHEN q >= 2 THEN 2
+                ELSE 1 END AS w
+    FROM (SELECT tok, (SELECT n FROM nd) // count(*) AS q
+          FROM toks GROUP BY tok)
+),
+th AS (SELECT t.doc_id, t.cnt * wt.w AS cw, md5(t.tok) AS h
+       FROM toks t JOIN wt ON wt.tok = t.tok),
 contrib AS (
     SELECT doc_id, pos,
-           cnt * (2 * (({nib} // {mask}) % 2) - 1) AS c
+           cw * (2 * (({nib} // {mask}) % 2) - 1) AS c
     FROM th CROSS JOIN range(0, 64) t(pos)
 ),
 bits AS (
