@@ -537,16 +537,45 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def hamming_near_pairs(sigs: DataFrame, max_hamming: int, id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on hex quarters.
+    """Near-dup pairs by SimHash hamming distance, blocked on block PAIRS.
 
-    Pigeonhole: distance ≤ 3 over 4 blocks of 16 bits → at least one block
-    identical, so candidates come from equi-joins on a block, not O(n²).
+    Pigeonhole, one block wider than the classic construction: distance
+    ≤ k flips bits in at most k of k+2 blocks, so every qualifying pair
+    agrees EXACTLY on at least one of the C(k+2, 2) block pairs —
+    candidates come from equi-joins on compound ~2·64/(k+2)-bit keys
+    (k=3: 10 probes on 25–26-bit keys). The classic k+1-single-block
+    form joins on 16-bit keys, whose random-collision (birthday) term
+    is 4·n²/2¹⁷ — measured as the dominant candidate source once the
+    idf weighting removed the data-dependent mega-buckets (147k of the
+    152k candidates at ov1 were 16-bit coincidences). Widening the key
+    to ~26 bits cuts that floor ~500× (10·n²/2²⁷); at n ≥ 10⁹ widen
+    again (k+3 blocks, C(k+3,3) triple probes — Manku et al.'s table
+    construction generalizes). Candidate completeness is blocking-
+    independent, so the DuckDB oracle keeps its 4×16 single-block form:
+    both engines enumerate exactly the hamming ≤ k pair set.
     """
-    blocked = sigs.select(
+    nb = max_hamming + 2
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    starts = [1 + sum(widths[:i]) for i in range(nb)]
+    bin64 = "concat(" + ", ".join(
+        f"lpad(bin(position(substr(simhash, {j + 1}, 1), '{HEX}') - 1), 4, '0')"
+        for j in range(16)
+    ) + ")"
+    combos = [(i, j) for i in range(nb) for j in range(i + 1, nb)]
+    blocked = sigs.withColumn("b64", F.expr(bin64)).select(
         id_col,
         "simhash",
         F.explode(
-            F.array(*[F.struct(F.lit(i).alias("blk"), F.substring("simhash", 1 + 4 * i, 4).alias("key")) for i in range(4)])
+            F.array(*[
+                F.struct(
+                    F.lit(ci).alias("blk"),
+                    F.expr(
+                        f"concat(substr(b64, {starts[i]}, {widths[i]}), "
+                        f"substr(b64, {starts[j]}, {widths[j]}))"
+                    ).alias("key"),
+                )
+                for ci, (i, j) in enumerate(combos)
+            ])
         ).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.key")
     a = blocked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "key")

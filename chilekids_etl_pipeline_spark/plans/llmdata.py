@@ -613,10 +613,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup end-to-end: signatures over the corpus plus planted
     exact copies (every 10th doc) and tail-truncated near-copies (every
     10th+5), then hamming-≤3 pairing via the pigeonhole-blocked equi-join
-    (operators.dedup.hamming_near_pairs) — distance ≤ 3 over 4 blocks of
-    16 bits guarantees one identical block, so candidates come from block
-    buckets, never O(n²). This is the production-shape SimHash path on a
-    100 TB corpus: 8 bytes/doc signature, 4 index probes per doc."""
+    (operators.dedup.hamming_near_pairs) — distance ≤ 3 over 5 blocks
+    guarantees two identical blocks, so candidates come from ~26-bit
+    block-pair buckets, never O(n²) and ~500× under the 16-bit birthday
+    floor. This is the production-shape SimHash path on a 100 TB corpus:
+    8 bytes/doc idf-weighted signature, 10 index probes per doc."""
     docs = maybe_rebalance(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
