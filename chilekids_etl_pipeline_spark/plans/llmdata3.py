@@ -704,11 +704,20 @@ def _lsh_recall_oracle() -> str:
     are definitionally the same data the production entries use."""
     from .llmdata import _DOCS_AUG_DUCK, _SH_DUCK, _W_DUCK
 
+    from .llmdata import _MINHASH_DF_ABS
+
     return f"""
 WITH {_DOCS_AUG_DUCK.lstrip()},
 audit AS (SELECT doc_id, text FROM docs WHERE (doc_id % 100000) % {_RECALL_SAMPLE_DENOM} = 0),
 wd AS (SELECT doc_id, {_W_DUCK} AS w FROM audit),
-sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+sh0 AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
+hot AS (
+    SELECT shingle FROM sh0 GROUP BY shingle
+    HAVING count(*) > {_MINHASH_DF_ABS}
+),
+sh AS (
+    SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
 hd AS (
     SELECT doc_id,
            cast(('0x' || substr(md5(shingle), 1, 15)) AS bigint) AS h1,
@@ -766,19 +775,29 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement a production pipeline runs on a sample before trusting the
     index at full scale — the exact side is the expensive all-shared-
     shingle join, which is why it runs on a deterministic stratified sample (base-id stratum, twin ids normalized so planted pairs stay whole - see _RECALL_SAMPLE_DENOM). Counts
-    reduce to one row; the three scalars broadcast-combine."""
+    reduce to one row; the three scalars broadcast-combine.
+
+    Audits the construction dedup_minhash_lsh SHIPS: both the band
+    index and the exact ground truth read the stop-gram-filtered
+    shingle table (df > 256 dropped — the round-9-restart mega-bucket
+    fix), so recall answers "does the banded index find what the verify
+    stage would accept" under the shipped filtered-Jaccard semantics.
+    A no-op on the gate corpora (no shingle reaches the cap there)."""
     from ..operators.dedup import (
+        drop_hot_shingles,
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_bands,
         shingle_rows,
     )
-    from .llmdata import _docs_aug_spark
+    from .llmdata import _MINHASH_DF_ABS, _docs_aug_spark
 
     audit = _docs_aug_spark(spark, sf_dir).filter(
         (F.col("doc_id") % 100000) % _RECALL_SAMPLE_DENOM == 0
     )
-    sh = shingle_rows(audit).persist()
+    sh = drop_hot_shingles(
+        shingle_rows(audit), df_cap_abs=_MINHASH_DF_ABS
+    ).persist()
     exact = jaccard_pairs(sh, 0.5).select("doc_a", "doc_b")
     cand = lsh_candidate_pairs(minhash_bands(sh, num_hashes=12, band_size=3))
     hits = exact.join(cand, ["doc_a", "doc_b"])
