@@ -44,6 +44,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/repo/.scaledata/sf1")
     ap.add_argument("--out", default="MEMPROBE_sf1.json")
+    ap.add_argument(
+        "--append", action="store_true",
+        help="merge this run's per-query rows into an existing --out "
+        "record (one-fresh-JVM-per-query driving loops: each query is "
+        "measured against the heap cap alone, not against its "
+        "predecessors' accumulated broadcast/codegen state, and a JVM "
+        "death cannot lose earlier rows)")
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
     names = args.queries or DEFAULT_QUERIES
@@ -54,6 +61,20 @@ def main() -> int:
 
     spark = get_spark("memory-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # Size the broadcast threshold to the capped heap, as any memory-
+    # constrained deployment must: the session's 64 MB default is tuned
+    # for the full 128 GiB local JVM, but a "64 MB" on-wire relation
+    # deserializes into a hash relation several times larger — at sf3
+    # under a 2 g cap, AQE happily converted the 4.5M-row backlog-spans
+    # aggregate to a broadcast and died building it ("Not enough memory
+    # to build and broadcast"), where sort-merge spills and completes.
+    # heap/256 ≈ 8 MB at 2 g keeps genuine dims broadcast and pushes
+    # fact-sized relations back to SMJ.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").lower()
+    mb = int(float(mem.rstrip("gm")) * (1024 if mem.endswith("g") else 1))
+    thr = max(4, mb // 256) * 1024 * 1024
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", str(thr))
     qs = entry_mod.queries()
     record: dict = {
         "sf_dir": args.sf,
@@ -67,6 +88,19 @@ def main() -> int:
             record["queries"][name] = {"error": "not found"}
             continue
         spark.catalog.clearCache()
+        # Sequential heavy queries in ONE capped JVM accumulate broadcast
+        # blocks and shuffle state whose release waits on ContextCleaner
+        # weak references — under a 2g heap the GCLocker thrashes before
+        # the cleaner runs (observed: q21 green alone, dead at position 6
+        # of the sf3 probe). Nudge a full GC between queries so each
+        # query is measured against the cap, not against its
+        # predecessors' uncollected state; production never runs this
+        # sequence in one executor-sized JVM.
+        try:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+        except Exception:  # noqa: BLE001 — best-effort hygiene only
+            pass
         t0 = time.monotonic()
         try:
             qs[name](spark, args.sf).write.format("noop").mode(
@@ -82,6 +116,12 @@ def main() -> int:
                 "error": f"{type(e).__name__}: {e}"[:300]
             }
             print(f"FAIL {name}: {type(e).__name__}", flush=True)
+    if args.append and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        merged = prior.get("queries", {})
+        merged.update(record["queries"])
+        record["queries"] = merged
     record["completed"] = sum(
         1 for v in record["queries"].values() if "wall_s" in v
     )
