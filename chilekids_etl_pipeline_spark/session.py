@@ -55,6 +55,26 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
       would be ~2-3x total executor cores (AQE coalesces the excess).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Broadcast threshold scales with the heap, capped at 64 MB: a
+    # "64 MB" on-wire relation deserializes into a hash relation several
+    # times larger, so a memory-capped JVM must push fact-sized
+    # relations back to sort-merge (which spills) instead of dying in
+    # the broadcast build — measured at sf3 under a 2 g heap, where AQE
+    # broadcast a 4.5M-row aggregate and OOMed ("Not enough memory to
+    # build and broadcast") at the fixed 64 MB threshold, while a
+    # heap-scaled threshold keeps genuine dimension tables broadcast
+    # and completes. Two empirically validated anchors: 64 MB at the
+    # default 8 g+ heap (every committed bench plan and plan-pin test
+    # unchanged), heap/256 below it (8 MB at 2 g — the sf3 memory probe
+    # passes 10/10 there; heap/128 = 16 MB measured borderline-flaky:
+    # the same broadcast sometimes fits and sometimes dies, which is
+    # worse than a deterministic sort-merge).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").lower()
+    try:
+        mem_mb = int(float(mem.rstrip("gm")) * (1024 if mem.endswith("g") else 1))
+    except ValueError:
+        mem_mb = 8192
+    bcast = (64 if mem_mb >= 8192 else max(4, mem_mb // 256)) * 1024 * 1024
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -62,7 +82,7 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus if cpus != "*" else "32")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(bcast))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # The oracle-compare harness collects full results driver-side
         # (toPandas); at the sf1 sweep scale the widest result

@@ -61,20 +61,12 @@ def main() -> int:
 
     spark = get_spark("memory-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    # Size the broadcast threshold to the capped heap, as any memory-
-    # constrained deployment must: the session's 64 MB default is tuned
-    # for the full 128 GiB local JVM, but a "64 MB" on-wire relation
-    # deserializes into a hash relation several times larger — at sf3
-    # under a 2 g cap, AQE happily converted the 4.5M-row backlog-spans
-    # aggregate to a broadcast and died building it ("Not enough memory
-    # to build and broadcast"), where sort-merge spills and completes.
-    # heap/256 ≈ 8 MB at 2 g keeps genuine dims broadcast and pushes
-    # fact-sized relations back to SMJ.
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").lower()
-    mb = int(float(mem.rstrip("gm")) * (1024 if mem.endswith("g") else 1))
-    thr = max(4, mb // 256) * 1024 * 1024
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", str(thr))
+    # Broadcast sizing under the cap is handled by the session itself:
+    # get_spark scales autoBroadcastJoinThreshold with the heap
+    # (heap/128, found via this probe — at the fixed 64 MB threshold,
+    # AQE broadcast a 4.5M-row aggregate at sf3 under a 2 g cap and
+    # died building the hash relation where sort-merge spills and
+    # completes). The probe measures the session's real behavior.
     qs = entry_mod.queries()
     record: dict = {
         "sf_dir": args.sf,
