@@ -453,7 +453,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     bit_i(md5(token)) contributes ±(count × weight) to position i; the
     sign of each positional sum is the signature bit. The weight is an
-    INTEGER idf class — floor(log2(n_docs / df)) capped at 7 — so
+    INTEGER idf class — min(7, floor(log2(n_docs / df)) + 1) — so
     ubiquitous tokens barely move the majority vote. Unweighted simhash
     measured quadratic on realistic token statistics (round-9 restart,
     ov 1.8× step): the Zipf-head tokens appearing in most documents

@@ -51,7 +51,7 @@ from ..operators.similarity import (
     topk_cosine,
     with_norm,
 )
-from ..sources.tables import load_table, maybe_rebalance
+from ..sources.tables import load_table, maybe_rebalance, rebalance_if_big
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -115,14 +115,18 @@ _PERTURB_SPARK = "concat(array(element_at(vec, 1) + cast(0.05 AS double)), slice
 
 
 def _vecs_spark(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    # maybe_rebalance: the embeddings parquet is 1-2 splits at every test
-    # scale, so the per-row vector lambdas downstream (hyperplane
+    # Size-gated widening: the embeddings parquet is 1-2 splits at every
+    # test scale, so the per-row vector lambdas downstream (hyperplane
     # projections, norms, dot products) starve on 2 of 32 cores without
     # the widening — dedup_embedding_cosine sf1 A/B: 14.9 -> 6.5 s median.
-    base = maybe_rebalance(
+    # Below ~2 MB the exchange is pure stage-barrier loss (r10 A/B at
+    # sf0.1: knn +0.45 s, ann_ivf +0.64 s — AB_r8_vs_r10.json), so the
+    # gate skips it there; sf1 (5.2 MB) still widens.
+    base = rebalance_if_big(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.expr(VEC_AS_DOUBLE).alias("vec")
-        )
+        ),
+        min_bytes=2 << 20,
     )
     planted = (
         base.filter(F.col("vec_id") % 25 == 0)
@@ -509,7 +513,7 @@ def _simhash_cte(source: str = "documents") -> str:
     """DuckDB CTE chain computing sig(doc_id, simhash) over ``source``.
 
     Mirrors operators/dedup.py simhash: token contributions are weighted
-    by the integer idf class floor(log2(n_docs/df)) capped at 7 (pure
+    by the integer idf class min(7, floor(log2(n_docs/df)) + 1) (pure
     integer CASE — bit-identical across engines), which decorrelates
     signatures dominated by Zipf-head tokens (the measured block-bucket
     n² on realistic corpora; see the operator docstring)."""
@@ -693,7 +697,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row PROVES no ≥0.98 pair was lost under the wider bands.
     import math
 
-    n_corpus = base.count()
+    # Count the RAW scan, not `base`: counting through the widening
+    # exchange + vector-cast projection runs a full shuffle job for a
+    # scalar the parquet footer already knows (r10 A/B priced the
+    # adaptive-K count pattern at ~+0.5 s per entry at sf0.1). Same n —
+    # base is a 1:1 projection of the table.
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
     band_size = max(3, math.ceil(math.log2(max(n_corpus, 2) / 64)))
     nb = hyperplane_bands(
         planted, num_planes=4 * band_size, band_size=band_size
@@ -882,7 +891,10 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     base, _ = _vecs_spark(spark, sf_dir)
-    n = base.count()
+    # Raw-scan count for K (not base.count(): that ran the widening
+    # exchange + vector cast as a shuffle job just to size the cell
+    # grid — +0.64 s at sf0.1 in the r10 A/B). Identical n.
+    n = load_table(spark, sf_dir, "embeddings").count()
     k_cells = max(8, math.ceil(math.sqrt(n) / 2))
     queries = base.filter(F.col("vec_id") % 50 == 0)
     centroids = base.filter(F.col("vec_id") < k_cells)

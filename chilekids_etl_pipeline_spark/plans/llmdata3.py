@@ -697,14 +697,22 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus); at 100 TB the same stratum bound is what makes the QA runnable.
 _RECALL_SAMPLE_DENOM = 5
 
+# Sample-relative stop-gram cap: the full-corpus index drops shingles with
+# df > _MINHASH_DF_ABS, so on a 1/DENOM stratified sample the equivalent
+# bound is ceil(cap / DENOM) — a shingle at the full-corpus threshold has
+# ~cap/DENOM occurrences in the sample. Applying the absolute 256 to the
+# sample would be DENOM× laxer than the shipped filter (r9 advice).
+def _recall_df_cap() -> int:
+    from .llmdata import _MINHASH_DF_ABS
+
+    return -(-_MINHASH_DF_ABS // _RECALL_SAMPLE_DENOM)
+
 
 def _lsh_recall_oracle() -> str:
     """Composed lazily from llmdata's shared CTE templates (same corpus
     augmentation, shingles, MinHash bands) so the two measurement sides
     are definitionally the same data the production entries use."""
     from .llmdata import _DOCS_AUG_DUCK, _SH_DUCK, _W_DUCK
-
-    from .llmdata import _MINHASH_DF_ABS
 
     return f"""
 WITH {_DOCS_AUG_DUCK.lstrip()},
@@ -713,7 +721,7 @@ wd AS (SELECT doc_id, {_W_DUCK} AS w FROM audit),
 sh0 AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
 hot AS (
     SELECT shingle FROM sh0 GROUP BY shingle
-    HAVING count(*) > {_MINHASH_DF_ABS}
+    HAVING count(*) > {_recall_df_cap()}
 ),
 sh AS (
     SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
@@ -779,10 +787,15 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Audits the construction dedup_minhash_lsh SHIPS: both the band
     index and the exact ground truth read the stop-gram-filtered
-    shingle table (df > 256 dropped — the round-9-restart mega-bucket
-    fix), so recall answers "does the banded index find what the verify
-    stage would accept" under the shipped filtered-Jaccard semantics.
-    A no-op on the gate corpora (no shingle reaches the cap there)."""
+    shingle table (the round-9-restart mega-bucket fix), so recall
+    answers "does the banded index find what the verify stage would
+    accept" under the shipped filtered-Jaccard semantics. The cap is
+    sample-relative — ceil(256 / DENOM) on the 1/DENOM stratum, the
+    expected sample count of a shingle at the full-corpus threshold —
+    so the audited filter matches the shipped df>256 full-corpus filter
+    in expectation (r9 advice: the absolute 256 applied to the sample
+    was DENOM× laxer). A no-op on the gate corpora (no shingle reaches
+    the cap there)."""
     from ..operators.dedup import (
         drop_hot_shingles,
         jaccard_pairs,
@@ -790,13 +803,13 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_bands,
         shingle_rows,
     )
-    from .llmdata import _MINHASH_DF_ABS, _docs_aug_spark
+    from .llmdata import _docs_aug_spark
 
     audit = _docs_aug_spark(spark, sf_dir).filter(
         (F.col("doc_id") % 100000) % _RECALL_SAMPLE_DENOM == 0
     )
     sh = drop_hot_shingles(
-        shingle_rows(audit), df_cap_abs=_MINHASH_DF_ABS
+        shingle_rows(audit), df_cap_abs=_recall_df_cap()
     ).persist()
     exact = jaccard_pairs(sh, 0.5).select("doc_a", "doc_b")
     cand = lsh_candidate_pairs(minhash_bands(sh, num_hashes=12, band_size=3))

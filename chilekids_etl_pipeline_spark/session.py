@@ -70,9 +70,23 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
     # the same broadcast sometimes fits and sometimes dies, which is
     # worse than a deterministic sort-merge).
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").lower()
+    # JVM -Xmx grammar: bare bytes or k/m/g/t suffix. An unparseable
+    # value falls back to the 8g default *with a warning* — silently
+    # keeping the 64 MB broadcast threshold under a small real heap is
+    # exactly the OOM this scaling guards against.
+    _unit_mb = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
     try:
-        mem_mb = int(float(mem.rstrip("gm")) * (1024 if mem.endswith("g") else 1))
+        if mem and mem[-1] in _unit_mb:
+            mem_mb = int(float(mem[:-1]) * _unit_mb[mem[-1]])
+        else:
+            mem_mb = int(float(mem) / (1024 * 1024))  # bare byte count
     except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_DRIVER_MEM={mem!r} is not a JVM memory string; "
+            "assuming 8g for broadcast-threshold scaling"
+        )
         mem_mb = 8192
     bcast = (64 if mem_mb >= 8192 else max(4, mem_mb // 256)) * 1024 * 1024
     builder = (

@@ -80,6 +80,34 @@ def maybe_rebalance(df: DataFrame, force: bool = False) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def rebalance_if_big(df: DataFrame, min_bytes: int) -> DataFrame:
+    """Size-gated ``maybe_rebalance``: skip the widening exchange when the
+    scan is too small to amortize the stage barrier it adds.
+
+    The exchange costs a roughly fixed ~0.3-0.5 s of barrier + task
+    scheduling at local[32] regardless of data volume, while its benefit
+    scales with bytes-per-core of downstream work — so for thin inputs it
+    is pure loss (r10 alternating A/B at sf0.1, AB_r8_vs_r10.json:
+    knn_topk_cosine +0.45 s, ann_ivf_cosine +0.64 s, elt_end_to_end
+    +0.36 s of the widening/count cost on sub-2 MB scans) and for fat
+    ones it is the difference between 2 and 32 busy cores (sf1 wins of
+    1.4-2.3x recorded at the call sites). ``min_bytes`` is the call
+    site's break-even, compared against the relation's plan-time size
+    estimate (parquet file bytes — no job, no execution). On a real
+    cluster ``maybe_rebalance`` is a no-op anyway; this gate only tunes
+    the degenerate local layouts.
+    """
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size = None
+    if size is not None and size < min_bytes:
+        return df
+    return maybe_rebalance(df)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table.
 

@@ -63,7 +63,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     # Broadcast sizing under the cap is handled by the session itself:
     # get_spark scales autoBroadcastJoinThreshold with the heap
-    # (heap/128, found via this probe — at the fixed 64 MB threshold,
+    # (heap/256, found via this probe; heap/128 measured borderline-
+    # flaky — at the fixed 64 MB threshold,
     # AQE broadcast a 4.5M-row aggregate at sf3 under a 2 g cap and
     # died building the hash relation where sort-merge spills and
     # completes). The probe measures the session's real behavior.
