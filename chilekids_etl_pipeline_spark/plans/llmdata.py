@@ -775,6 +775,24 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 25. LSH-bucketed ANN
 
 
+def _ann_planes(n_corpus: int) -> int:
+    """Signature width for the single-band hyperplane LSH: enough planes
+    that the expected bucket population n/2^planes stays ≤ 64, floored at
+    the original 12 (which every corpus ≤ 262144 vectors keeps, so gate
+    results are unchanged at all test scales). Fixes the r9-verdict
+    what's-wrong #3: a FIXED 4096-bucket signature quietly degrades into
+    within-bucket brute force at n ≥ 10⁷ (thousands of vectors per
+    bucket); the adaptive width keeps per-bucket verify work bounded, at
+    the documented recall cost of a longer signature (each extra plane
+    is one more chance a near-pair splits — ann_ivf_cosine remains the
+    recall-controlled scale path). Same sqrt/log sizing discipline as
+    ann_ivf's K and dedup_embedding_cosine's band_size; both dialects
+    derive the width from the same corpus count."""
+    import math
+
+    return max(12, math.ceil(math.log2(max(n_corpus, 2) / 64)))
+
+
 def _ann_oracle() -> str:
     w = (
         f"(CASE WHEN (strpos('{HEX}', substr(md5(concat(p, '_', d)), 1, 1)) - 1) % 2 = 0 "
@@ -782,6 +800,8 @@ def _ann_oracle() -> str:
     )
     return f"""
 WITH {_VECS_DUCK},
+np AS (SELECT greatest(12, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS nplanes
+       FROM embeddings),
 allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
 sig AS (
     SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig
@@ -789,7 +809,8 @@ sig AS (
         SELECT vec_id, p,
                CASE WHEN sum(v[d + 1] * {w}) >= 0 THEN '1' ELSE '0' END AS bit
         FROM (SELECT vec_id, v, unnest(range(0, len(v))) AS d FROM allv)
-             CROSS JOIN range(0, 12) pl(p)
+             CROSS JOIN range(0, 64) pl(p)
+        WHERE p < (SELECT nplanes FROM np)
         GROUP BY vec_id, p
     ) GROUP BY vec_id
 ),
@@ -819,12 +840,17 @@ FROM (
 
 @register("ann_lsh_cosine", oracle=_ann_oracle())
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN: 12 deterministic Rademacher hyperplanes → 12-bit
-    bucket; candidates only meet inside a bucket (recall < 1 by design —
-    the 100 TB path where brute force is impossible). Queries are the
-    perturbed new batch; expected hits are their source vectors."""
+    """Approximate NN: deterministic Rademacher hyperplanes → one bucket
+    per signature; candidates only meet inside a bucket (recall < 1 by
+    design — the 100 TB path where brute force is impossible). Queries
+    are the perturbed new batch; expected hits are their source vectors.
+    Signature width is corpus-adaptive (see _ann_planes): 12 planes at
+    every test scale, growing as log2(n/64) past 262k vectors so bucket
+    populations stay bounded instead of degrading into within-bucket
+    brute force."""
     base, planted = _vecs_spark(spark, sf_dir)
-    return ann_lsh_topk(planted, base, k=3, num_planes=12)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return ann_lsh_topk(planted, base, k=3, num_planes=_ann_planes(n))
 
 
 # ---------------------------------------------------------------------------

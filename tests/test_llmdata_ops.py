@@ -138,6 +138,41 @@ def test_topk_cosine_refuses_oversized_query_side(spark):
         topk_cosine(df, df, k=2, max_queries=5)
 
 
+def test_ann_planes_widths():
+    """Corpus-adaptive signature width: 12 planes up to 262144 vectors
+    (gate scales unchanged), then log2(n/64) so E[bucket] stays ≤ 64
+    instead of degrading into within-bucket brute force (r9 verdict #3)."""
+    from chilekids_etl_pipeline_spark.plans.llmdata import _ann_planes
+
+    assert _ann_planes(10_000) == 12
+    assert _ann_planes(100_000) == 12
+    assert _ann_planes(262_144) == 12  # 64 * 2^12 boundary, exact
+    assert _ann_planes(262_145) == 13
+    assert _ann_planes(10_000_000) == 18
+    assert _ann_planes(1_000_000_000) == 24
+    assert _ann_planes(0) == 12  # degenerate corpora floor at 12
+
+
+def test_ann_lsh_topk_wider_signature(spark):
+    """The operator honors a >12-plane width: identical vectors still
+    share their (now longer) signature and rank each other top-1."""
+    from chilekids_etl_pipeline_spark.operators.similarity import ann_lsh_topk
+
+    rows = [(i, [float(i % 7 + 1), float(i % 3), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "vec"
+    )
+    got = {r.query_id: r for r in ann_lsh_topk(queries, df, k=1, num_planes=13).collect()}
+    assert set(got) == {1000, 1001, 1002}
+    # each query is an exact copy of vec_id - 1000 → same 13-bit bucket,
+    # cosine 1.0; ties break by ascending neighbor_id so the lowest
+    # colinear corpus id wins (vectors repeat with period 21: 0 ≡ 21)
+    for qid, r in got.items():
+        assert r.cosine == 1.0
+        assert r.neighbor_id == qid - 1000
+
+
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_stub(b"bytes", "image")
