@@ -18,6 +18,17 @@ Usage:
 Default mode never overwrites an existing recorded hash — a changed
 implementation must earn a fresh green row, at which point the next
 round-start run records its new hash.
+
+ROUND-START PITFALL (bit r10): when a round edits many already-recorded
+keys and the driver's gate re-verifies them, their recorded hashes are
+STALE at the next round start — and default mode will not refresh them,
+leaving dozens of genuinely-re-verified keys counted as unverified. At
+round start (working tree identical to the tree the gate ran on) the
+correct mode is --rebuild, which re-records every green key's hash from
+the current source. Default mode now detects this case and says so: it
+prints a warning listing latest-green keys whose recorded hash no longer
+matches, instead of silently under-counting. Only use --rebuild at round
+start — mid-round it would launder unverified edits into verified ones.
 """
 
 from __future__ import annotations
@@ -91,6 +102,19 @@ def main() -> int:
             continue
         out[key] = plans.impl_hash(key)
         added.append(key)
+    stale = sorted(
+        k for k in latest
+        if k in out and k in plans.QUERIES
+        and out[k] != plans.impl_hash(k)
+    )
+    if stale and not args.rebuild:
+        print(
+            f"WARNING: {len(stale)} keys are green in the LATEST artifact "
+            f"but their recorded hash mismatches the current source: "
+            f"{stale}\n  If this is ROUND START (tree == the tree the gate "
+            f"ran on), re-run with --rebuild to refresh them; otherwise "
+            f"they were edited after the gate and must re-earn their rows."
+        )
     for key in args.drop:
         out.pop(key, None)
         pending[key] = n_arts
