@@ -203,6 +203,9 @@ EXTRA = [
     "events_session_window_native",
     # round-9: the planted hot-key strategy-equality entry
     "skew_join_strategies",
+    # round-10: compressed-domain ANN + b-bit minhash audit
+    "ann_ivfpq_adc",
+    "minhash_bbit_estimate",
 ]
 
 

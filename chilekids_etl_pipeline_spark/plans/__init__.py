@@ -205,6 +205,9 @@ def load_all() -> None:
     from . import analytics18, analytics19, llmdata18  # noqa: F401
     from . import llmdata19, analytics20, analytics21, llmdata20  # noqa: F401
 
+    # Round-10 batch: IVF-PQ/ADC scoring + b-bit minhash estimation.
+    from . import llmdata21  # noqa: F401
+
     verified = externally_verified()
     ordered = {
         k: QUERIES[k] for k in QUERIES if k not in verified

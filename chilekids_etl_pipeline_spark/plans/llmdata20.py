@@ -182,6 +182,18 @@ _ME_N = 5  # shingle width — 3-grams over this corpus's ~30-word vocab
            # have df ~75, and pairs-sharing-a-shingle blows past 10^8 at
            # sf1; 5-grams (similarity_histogram's width) keep df ~1
 _ME_DF_MULT = 20
+# Absolute stop-gram bound on top of the relative cap (round 10): on the
+# open-vocabulary corpus, boilerplate 5-grams have df ∝ n (a constant
+# FRACTION below 1/20, so the relative cap never fires) and the
+# pairs-sharing-a-gram join goes quadratic — measured α 0.709 on the
+# ov0.1→ov1 decade but 1.326 on the ov1→ov1p8 step above it (the bend
+# r9's three sub-ov1 points could not see). Same fix class as
+# _MINHASH_DF_ABS / _YC_DF_ABS: any df ∝ n crosses a fixed bound
+# eventually. A no-op on the driver gate corpora (no 5-gram df nears
+# 256 there), so gate values are unchanged; the audited semantics stay
+# honest — the estimator is measured on stop-gram-filtered candidates,
+# the same discipline the shipped index applies.
+_ME_DF_ABS = 256
 
 
 def _mh_err_sql(dialect: str, shf_src: str | None = None) -> str:
@@ -205,7 +217,8 @@ def _mh_err_sql(dialect: str, shf_src: str | None = None) -> str:
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
-    SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_ME_DF_MULT} <= n
+    SELECT g FROM df CROSS JOIN corpus
+    WHERE n_docs * {_ME_DF_MULT} <= n AND n_docs <= {_ME_DF_ABS}
 ),
 shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
 """ if shf_src is None else f"""shf AS (SELECT doc_id, g FROM {shf_src}),
@@ -293,7 +306,8 @@ sh AS (SELECT doc_id, explode({grams}) AS g FROM docs),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
-    SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_ME_DF_MULT} <= n
+    SELECT g FROM df CROSS JOIN corpus
+    WHERE n_docs * {_ME_DF_MULT} <= n AND n_docs <= {_ME_DF_ABS}
 )
 SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g
 """)
