@@ -310,6 +310,13 @@ BNLJ_ALLOWED = {
     # round 6: the df-cap's 1-row corpus-count broadcast against the
     # shingle-frequency table (same containment-df-cap pattern)
     "dedup_ngram_jaccard",
+    # round 10: ann_ivfpq_adc's broadcast sides are the 128-row (8x16)
+    # PQ codebook and the sqrt-K centroid table (the same cell-assign
+    # cross join ann_ivf_cosine carries above; ~16k rows even at 10^9
+    # vectors); minhash_bbit_estimate reuses the 1-row corpus-count
+    # broadcast of the df-cap pattern (same as minhash_estimate_error)
+    "ann_ivfpq_adc",
+    "minhash_bbit_estimate",
     # round 8: reuses histogram_quantile's estimation tail — the 3-row
     # quantile-targets table range-joins the bin-count-sized cum table
     # (same tiny-side shape that allowlists histogram_quantile below)
