@@ -196,6 +196,36 @@ _ME_DF_MULT = 20
 _ME_DF_ABS = 256
 
 
+def _sigw_chain(n_hashes: int) -> str:
+    """sigw(doc_id, m0..m{n_hashes-1}): the minhash minima as AGGREGATE
+    COLUMNS of ONE groupBy(doc_id) over hd(doc_id, h1, h2) — the simhash
+    lesson applied to the estimator audits (round 10). The previous
+    sig(doc_id, k, mh) row form (a) materialized n_hashes × shingle-rows
+    intermediate rows ahead of the partial aggregation and (b) made the
+    per-pair agreement a (doc, k)-keyed join + re-aggregation of
+    n_hashes rows per candidate pair; at the sf1p8 document anchor that
+    shape ran a 2 GiB heap out of GC headroom (memory probe: both
+    estimator audits died under the cap). The column form shuffles
+    n_docs rows once and scores each pair in a single integer
+    projection — no per-k join exists at any scale. Same SQL in both
+    dialects, so the gate keeps proving value-equality."""
+    mins = ", ".join(f"min(h1 + {k} * h2) AS m{k}" for k in range(n_hashes))
+    return f"""sigw AS (
+    SELECT doc_id, {mins}
+    FROM hd GROUP BY doc_id
+)"""
+
+
+def _match_sum(n_hashes: int, pred: str) -> str:
+    """Integer match count over the signature columns of pair sides a/b:
+    one CASE per column, summed in a projection (exact, order-free)."""
+    return " + ".join(
+        f"(CASE WHEN {pred.format(a=f'a.m{k}', b=f'b.m{k}')} "
+        f"THEN 1 ELSE 0 END)"
+        for k in range(n_hashes)
+    )
+
+
 def _mh_err_sql(dialect: str, shf_src: str | None = None) -> str:
     """``shf_src`` lets the Spark side materialize the df-capped shingle
     table once: the template references ``shf`` from FOUR consumers
@@ -206,14 +236,22 @@ def _mh_err_sql(dialect: str, shf_src: str | None = None) -> str:
     grams = shingles_sql(dialect, words_sql(dialect), _ME_N)
     ex = "explode" if dialect == "spark" else "unnest"
     if dialect == "spark":
-        k_rows = f"LATERAL VIEW explode(sequence(0, {_MH_HASHES - 1})) kk AS k"
         h1 = "cast(conv(substr(md5(g), 1, 15), 16, 10) AS bigint)"
         h2 = "cast(conv(substr(md5(g), 16, 13), 16, 10) AS bigint)"
     else:
-        k_rows = f", LATERAL (SELECT unnest(range(0, {_MH_HASHES})) AS k) kk"
         h1 = "cast(('0x' || substr(md5(g), 1, 15)) AS bigint)"
         h2 = "cast(('0x' || substr(md5(g), 16, 13)) AS bigint)"
-    shf_chain = f"""sh AS (SELECT doc_id, {ex}({grams}) AS g FROM docs),
+    # Everything downstream of hd uses ONLY the (doc_id, h1, h2) integer
+    # rows — the raw 5-gram strings never reach a shuffle. The pair join
+    # and the per-doc sizes both read hd (round 10): sort/join buffers
+    # hold 24-byte fixed-width rows instead of ~60-byte strings, which
+    # is what let the 2 GiB / 24-thread memory probe pass (strings-form
+    # OOMed in the pair-join sort), and at crawl scale it is the only
+    # sane shuffle payload. Identical results: shingles are distinct
+    # per doc, and both engines derive the same md5 integers, so even a
+    # (~2^-60-improbable) h1,h2 collision would alter both sides
+    # identically.
+    hd_chain = f"""sh AS (SELECT doc_id, {ex}({grams}) AS g FROM docs),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
@@ -221,29 +259,26 @@ keep AS (
     WHERE n_docs * {_ME_DF_MULT} <= n AND n_docs <= {_ME_DF_ABS}
 ),
 shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
-""" if shf_src is None else f"""shf AS (SELECT doc_id, g FROM {shf_src}),
+hd AS (
+    SELECT doc_id, {h1} AS h1, {h2} AS h2
+    FROM shf
+),
+""" if shf_src is None else f"""hd AS (SELECT doc_id, h1, h2 FROM {shf_src}),
 """
     return f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
-{shf_chain}
+{hd_chain}
 -- 12-hash Carter-Wegman MinHash signature: ONE md5 per shingle
 -- (h1, h2), permutation k evaluated as h1 + k*h2 (Broder; bounds
 -- h1 < 2^60, h2 < 2^52 keep 64-bit arithmetic overflow-free) — the
 -- same construction dedup_minhash_lsh ships, so this audits the
 -- production estimator at production cost
-hd AS (
-    SELECT doc_id, {h1} AS h1, {h2} AS h2
-    FROM shf
-),
-sig AS (
-    SELECT doc_id, kk.k, min(h1 + kk.k * h2) AS mh
-    FROM hd {k_rows}
-    GROUP BY doc_id, kk.k
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+{_sigw_chain(_MH_HASHES)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+    FROM hd a JOIN hd b ON a.h1 = b.h1 AND a.h2 = b.h2
+                       AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
 exact AS (
@@ -253,20 +288,15 @@ exact AS (
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
 ),
--- signature agreement over the SAME candidate pairs
-est AS (
-    SELECT e.doc_a, e.doc_b,
-           (cast(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS bigint)
-            * 1000000) {idiv} {_MH_HASHES} AS est_micro
-    FROM exact e
-    JOIN sig x ON x.doc_id = e.doc_a
-    JOIN sig y ON y.doc_id = e.doc_b AND y.k = x.k
-    GROUP BY e.doc_a, e.doc_b
-),
+-- signature agreement over the SAME candidate pairs: one row per pair,
+-- match count as an integer projection over the signature columns
 errs AS (
-    SELECT abs(s.est_micro - x.jac_micro) AS err_micro,
-           x.jac_micro
-    FROM est s JOIN exact x ON s.doc_a = x.doc_a AND s.doc_b = x.doc_b
+    SELECT abs((cast({_match_sum(_MH_HASHES, "{a} = {b}")} AS bigint)
+                * 1000000) {idiv} {_MH_HASHES} - e.jac_micro) AS err_micro,
+           e.jac_micro
+    FROM exact e
+    JOIN sigw a ON a.doc_id = e.doc_a
+    JOIN sigw b ON b.doc_id = e.doc_b
 )
 SELECT jac_micro {idiv} 250000 AS jac_band,
        cast(count(*) AS bigint) AS n_pairs,
@@ -289,18 +319,25 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent h1 + k·h2 permutations, grouped min), so the audit
     measures the production estimator at production cost. Pair work is bounded by the same
     inverted-index join as similarity_histogram. Perf: the df-capped
-    shingle table has FOUR consumers in the template (sig gen, sizes,
-    both pair-join sides) — materialized once Spark-side via the
-    shf_src seam (round-9 same-session idle A/B at the ov1 scale:
-    inlined median 18.6 s -> persisted 15.2 s, n=3 each; the standing
-    CTE-inlining lesson).
+    HASH table (doc_id, h1, h2 — strings already dropped) has FOUR
+    consumers in the template (sig gen, sizes, both pair-join sides) —
+    materialized once Spark-side via the shf_src seam (round-9
+    same-session idle A/B at the ov1 scale: inlined median 18.6 s ->
+    persisted 15.2 s, n=3 each; the standing CTE-inlining lesson).
+    Round 10 moved the pair join itself onto the integer hashes and the
+    signature minima into aggregate COLUMNS (see _sigw_chain /
+    hd_chain notes): the strings-and-rows form OOMed the 2 GiB /
+    24-thread memory probe at the sf1p8 document anchor; this form
+    completes it.
     Companions: dedup_lsh_recall (candidate recall), lsh_band_tuning
     (S-curve), ndv_profile_error (the sketch-audit pattern for distinct
     counts)."""
     docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     grams = shingles_sql("spark", words_sql("spark"), _ME_N)
-    shf = spark.sql(f"""
+    h1 = "cast(conv(substr(md5(sh.g), 1, 15), 16, 10) AS bigint)"
+    h2 = "cast(conv(substr(md5(sh.g), 16, 13), 16, 10) AS bigint)"
+    hd = spark.sql(f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
 sh AS (SELECT doc_id, explode({grams}) AS g FROM docs),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
@@ -309,7 +346,8 @@ keep AS (
     SELECT g FROM df CROSS JOIN corpus
     WHERE n_docs * {_ME_DF_MULT} <= n AND n_docs <= {_ME_DF_ABS}
 )
-SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g
+SELECT sh.doc_id, {h1} AS h1, {h2} AS h2
+FROM sh JOIN keep ON sh.g = keep.g
 """)
-    shf.persist().createOrReplaceTempView("mhe_shf_mat")
-    return spark.sql(_mh_err_sql("spark", shf_src="mhe_shf_mat"))
+    hd.persist().createOrReplaceTempView("mhe_hd_mat")
+    return spark.sql(_mh_err_sql("spark", shf_src="mhe_hd_mat"))

@@ -43,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table, maybe_rebalance, rebalance_if_big
-from .llmdata20 import _ME_DF_ABS, _ME_DF_MULT, _ME_N
+from .llmdata20 import (
+    _ME_DF_ABS,
+    _ME_DF_MULT,
+    _ME_N,
+    _match_sum,
+    _sigw_chain,
+)
 from .registry import register
 
 
@@ -221,14 +227,17 @@ def _bbit_sql(dialect: str, shf_src: str | None = None) -> str:
     grams = shingles_sql(dialect, words_sql(dialect), _ME_N)
     ex = "explode" if dialect == "spark" else "unnest"
     if dialect == "spark":
-        k_rows = f"LATERAL VIEW explode(sequence(0, {_BB_HASHES - 1})) kk AS k"
         h1 = "cast(conv(substr(md5(g), 1, 15), 16, 10) AS bigint)"
         h2 = "cast(conv(substr(md5(g), 16, 13), 16, 10) AS bigint)"
     else:
-        k_rows = f", LATERAL (SELECT unnest(range(0, {_BB_HASHES})) AS k) kk"
         h1 = "cast(('0x' || substr(md5(g), 1, 15)) AS bigint)"
         h2 = "cast(('0x' || substr(md5(g), 16, 13)) AS bigint)"
-    shf_chain = f"""sh AS (SELECT doc_id, {ex}({grams}) AS g FROM docs),
+    # Integer-hash pair join + aggregate-column minima, exactly the
+    # minhash_estimate_error round-10 structure (see llmdata20's
+    # hd_chain/_sigw_chain notes): strings never reach a shuffle, no
+    # per-k join exists. The 2 GiB / 24-thread memory probe at sf1p8
+    # killed the strings-and-rows form of both audits; this completes.
+    hd_chain = f"""sh AS (SELECT doc_id, {ex}({grams}) AS g FROM docs),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
@@ -236,24 +245,21 @@ keep AS (
     WHERE n_docs * {_ME_DF_MULT} <= n AND n_docs <= {_ME_DF_ABS}
 ),
 shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
-""" if shf_src is None else f"""shf AS (SELECT doc_id, g FROM {shf_src}),
-"""
-    return f"""
-WITH docs AS (SELECT doc_id, text FROM documents),
-{shf_chain}
 hd AS (
     SELECT doc_id, {h1} AS h1, {h2} AS h2
     FROM shf
 ),
-sig AS (
-    SELECT doc_id, kk.k, min(h1 + kk.k * h2) AS mh
-    FROM hd {k_rows}
-    GROUP BY doc_id, kk.k
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+""" if shf_src is None else f"""hd AS (SELECT doc_id, h1, h2 FROM {shf_src}),
+"""
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{hd_chain}
+{_sigw_chain(_BB_HASHES)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+    FROM hd a JOIN hd b ON a.h1 = b.h1 AND a.h2 = b.h2
+                       AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
 exact AS (
@@ -270,19 +276,17 @@ exact AS (
 -- the chance-collision floor C is 1/2 for a large hash universe)
 est AS (
     SELECT e.doc_a, e.doc_b, e.jac_micro,
-           (cast(sum(CASE WHEN x.k < {_BB_FULL} AND x.mh = y.mh
-                          THEN 1 ELSE 0 END) AS bigint)
+           (cast({_match_sum(_BB_FULL, "{a} = {b}")} AS bigint)
             * 1000000) {idiv} {_BB_FULL} AS full_micro,
            greatest(
                cast(0 AS bigint),
-               2 * ((cast(sum(CASE WHEN x.mh % 2 = y.mh % 2
-                                   THEN 1 ELSE 0 END) AS bigint)
+               2 * ((cast({_match_sum(_BB_HASHES, "{a} % 2 = {b} % 2")}
+                          AS bigint)
                      * 1000000) {idiv} {_BB_HASHES}) - 1000000
            ) AS bbit_micro
     FROM exact e
-    JOIN sig x ON x.doc_id = e.doc_a
-    JOIN sig y ON y.doc_id = e.doc_b AND y.k = x.k
-    GROUP BY e.doc_a, e.doc_b, e.jac_micro
+    JOIN sigw a ON a.doc_id = e.doc_a
+    JOIN sigw b ON b.doc_id = e.doc_b
 )
 SELECT jac_micro {idiv} 250000 AS jac_band,
        cast(count(*) AS bigint) AS n_pairs,
@@ -308,10 +312,11 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     by true similarity, so the 16x-smaller signature store's error in
     the high-similarity bands (where dedup acts) is a committed table
     rather than a claim. Same Carter-Wegman construction, shingle width
-    and df cap as minhash_estimate_error — one extra CASE per pair, no
-    new shuffle shape; the df-capped shingle table is materialized once
-    Spark-side (four template consumers, the standing CTE-inlining
-    lesson). Integer-micro arithmetic end-to-end.
+    and df cap as minhash_estimate_error — one extra CASE set per pair,
+    no new shuffle shape; the df-capped integer-hash table (strings
+    already dropped) is materialized once Spark-side (four template
+    consumers, the standing CTE-inlining lesson). Integer-micro
+    arithmetic end-to-end.
     Companions: minhash_estimate_error (full-width audit),
     dedup_minhash_lsh (the index this would shrink),
     embedding_quantize_int8 / ann_ivfpq_adc (the same
@@ -321,7 +326,9 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("documents")
     grams = shingles_sql("spark", words_sql("spark"), _ME_N)
-    shf = spark.sql(f"""
+    h1 = "cast(conv(substr(md5(sh.g), 1, 15), 16, 10) AS bigint)"
+    h2 = "cast(conv(substr(md5(sh.g), 16, 13), 16, 10) AS bigint)"
+    hd = spark.sql(f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
 sh AS (SELECT doc_id, explode({grams}) AS g FROM docs),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
@@ -330,7 +337,8 @@ keep AS (
     SELECT g FROM df CROSS JOIN corpus
     WHERE n_docs * {_ME_DF_MULT} <= n AND n_docs <= {_ME_DF_ABS}
 )
-SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g
+SELECT sh.doc_id, {h1} AS h1, {h2} AS h2
+FROM sh JOIN keep ON sh.g = keep.g
 """)
-    shf.persist().createOrReplaceTempView("bbit_shf_mat")
-    return spark.sql(_bbit_sql("spark", shf_src="bbit_shf_mat"))
+    hd.persist().createOrReplaceTempView("bbit_hd_mat")
+    return spark.sql(_bbit_sql("spark", shf_src="bbit_hd_mat"))
