@@ -503,6 +503,40 @@ def test_rebalance_gate_auto_widens_local_scan(spark):
         spark.conf.set(REBALANCE_CONF, "auto")
 
 
+def test_rebalance_if_big_gates_on_scan_bytes(spark):
+    """Round-10 size gate: below min_bytes the widening exchange must NOT
+    be planned (it is pure stage-barrier loss on thin inputs — the r10
+    A/B priced it at +0.3-0.6 s per entry at sf0.1), above it the
+    behavior is exactly maybe_rebalance. The threshold compares the
+    relation's plan-time file-size estimate, so no job runs either way."""
+    from chilekids_etl_pipeline_spark.sources.tables import (
+        REBALANCE_CONF,
+        load_table,
+        rebalance_if_big,
+    )
+
+    spark.conf.set(REBALANCE_CONF, "auto")
+    small = load_table(spark, SF_SMALL, "lineitem")
+    # a huge threshold: the scan is "too small", no exchange
+    assert "RoundRobinPartitioning" not in _plan(
+        rebalance_if_big(small, min_bytes=1 << 40)
+    )
+    # a zero threshold: delegates to maybe_rebalance, which widens the
+    # under-parallel local scan
+    assert "RoundRobinPartitioning" in _plan(
+        rebalance_if_big(small, min_bytes=0)
+    )
+    # the off conf still pins production plans Exchange-free even when
+    # the size gate passes
+    spark.conf.set(REBALANCE_CONF, "off")
+    try:
+        assert "RoundRobinPartitioning" not in _plan(
+            rebalance_if_big(small, min_bytes=0)
+        )
+    finally:
+        spark.conf.set(REBALANCE_CONF, "auto")
+
+
 def test_rebalance_auto_skips_saturated_scan_and_force_overrides(spark):
     """Round-9 conditional widening: auto mode must SKIP the exchange
     when the input already has >= defaultParallelism partitions (a
