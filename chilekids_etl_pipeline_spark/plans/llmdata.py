@@ -787,10 +787,14 @@ def _ann_planes(n_corpus: int) -> int:
     is one more chance a near-pair splits — ann_ivf_cosine remains the
     recall-controlled scale path). Same sqrt/log sizing discipline as
     ann_ivf's K and dedup_embedding_cosine's band_size; both dialects
-    derive the width from the same corpus count."""
+    derive the width from the same corpus count. Capped at 64 planes —
+    the oracle's plane generator enumerates exactly 64 (range(0, 64)),
+    and 64 planes already bounds buckets to ≤ 64 expected vectors out
+    to n = 2⁷⁰, past any real corpus (r10 advice: the two dialects must
+    share BOTH ends of the formula, floor and cap)."""
     import math
 
-    return max(12, math.ceil(math.log2(max(n_corpus, 2) / 64)))
+    return min(64, max(12, math.ceil(math.log2(max(n_corpus, 2) / 64))))
 
 
 def _ann_oracle() -> str:
@@ -800,7 +804,8 @@ def _ann_oracle() -> str:
     )
     return f"""
 WITH {_VECS_DUCK},
-np AS (SELECT greatest(12, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS nplanes
+np AS (SELECT least(64, greatest(12,
+           CAST(ceil(log2(greatest(count(*), 2) / 64.0)) AS INT))) AS nplanes
        FROM embeddings),
 allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
 sig AS (

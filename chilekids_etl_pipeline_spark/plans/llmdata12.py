@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import HEX, words_sql
+from ..operators.dedup import hamming_near_pairs
 from ..sources.tables import load_table
 from .registry import register
 
@@ -333,7 +334,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # perceptual dHash near-dup detection (image columns)
 
 
-def _dhash_sql(dialect: str) -> str:
+def _dhash_sql(dialect: str, sigs_only: bool = False) -> str:
     s = _s(dialect)
     idiv = _idiv(dialect)
     # fake decode: pixel (r, c) of the 8x9 grayscale downsample derives
@@ -373,7 +374,7 @@ def _dhash_sql(dialect: str) -> str:
             f", (strpos('{HEX}', substr(sig_b, {i + 1}, 1)) - 1)))"
             for i in range(16)
         )
-    return f"""
+    chain = f"""
 WITH imgs AS (
     -- the image corpus: every image-typed doc plus planted exact copies
     -- of each 10th (same bytes, new id) — the near-dup ground truth
@@ -403,7 +404,10 @@ nibbles AS (
 sigs AS (
     SELECT doc_id, {assemble} AS dhash
     FROM nibbles GROUP BY doc_id
-),
+)"""
+    if sigs_only:
+        return chain + "\nSELECT doc_id, dhash FROM sigs"
+    return chain + f""",
 blocked AS (
     SELECT doc_id, dhash, blk, substr(dhash, 1 + 4 * blk, 4) AS key
     FROM sigs {blk}
@@ -425,10 +429,18 @@ WHERE {ham} <= 3
 def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup detection for image columns: 64-bit dHash
     (each bit compares a downsampled pixel to its right neighbor, the
-    standard difference-hash) → pigeonhole-blocked hamming join at
-    distance ≤ 3 — the image twin of dedup_simhash_pairs, completing
-    the multimodal dedup story (exact bytes → multimodal_meta's content
-    hash; perceptual → this). The 8x9 grayscale downsample is a
+    standard difference-hash) → hamming-≤3 pairing via the pigeonhole
+    block-PAIR equi-join (operators.dedup.hamming_near_pairs) — the
+    image twin of dedup_simhash_pairs, completing the multimodal dedup
+    story (exact bytes → multimodal_meta's content hash; perceptual →
+    this). Round 11 retired the 4×16-bit single-block join: real image
+    dHashes have correlated bits (flat regions → runs of equal
+    comparisons), the same skew that gave SimHash data-dependent
+    mega-buckets, and even uniform bits carry the 4·n²/2¹⁷ birthday
+    floor — the ~26-bit block-pair keys cut that ~500× (measured on the
+    simhash twin). Blocking is candidate generation only, so the DuckDB
+    oracle keeps the single-block form: both enumerate exactly the
+    hamming ≤ 3 pair set. The 8x9 grayscale downsample is a
     deterministic fake decode from the content hash (this runtime ships
     no codecs — operators/multimodal.py documents the seam); swapping
     in a real decoder changes ONE CTE, while the signature assembly and
@@ -437,4 +449,14 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    return spark.sql(_dhash_sql("spark"))
+    # the signature table feeds both sides of the block-pair equi-join;
+    # lazy persist so the per-doc hashing pipeline runs once (same
+    # measured rationale as dedup_simhash_pairs' sig persist)
+    sigs = (
+        spark.sql(_dhash_sql("spark", sigs_only=True))
+        .withColumnRenamed("dhash", "simhash")
+        .persist()
+    )
+    return hamming_near_pairs(sigs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )

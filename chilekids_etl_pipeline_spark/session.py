@@ -42,6 +42,33 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _mem_mb(mem: str) -> int:
+    """Parse a memory string with Spark's size-conf grammar (JavaUtils
+    .byteStringAsMb — the parser ``spark.driver.memory`` itself goes
+    through): k/m/g/t suffix, bare numbers default to MiB. One grammar
+    for both uses of SPARK_GRAFT_DRIVER_MEM, so '4096' means a 4 GiB
+    heap AND a 4 GiB-scaled broadcast threshold (r10 advice: the old
+    bare-bytes reading here gave mem_mb=0 for the same string Spark
+    reads as 4 GiB). An unparseable value falls back to the 8g default
+    *with a warning* — silently keeping the 64 MB broadcast threshold
+    under a small real heap is exactly the OOM the threshold scaling
+    guards against."""
+    mem = mem.lower().strip()
+    unit_mb = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    try:
+        if mem and mem[-1] in unit_mb:
+            return int(float(mem[:-1]) * unit_mb[mem[-1]])
+        return int(float(mem))  # bare number: MiB, Spark's default unit
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_DRIVER_MEM={mem!r} is not a JVM memory string; "
+            "assuming 8g for broadcast-threshold scaling"
+        )
+        return 8192
+
+
 def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -69,25 +96,7 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
     # passes 10/10 there; heap/128 = 16 MB measured borderline-flaky:
     # the same broadcast sometimes fits and sometimes dies, which is
     # worse than a deterministic sort-merge).
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").lower()
-    # JVM -Xmx grammar: bare bytes or k/m/g/t suffix. An unparseable
-    # value falls back to the 8g default *with a warning* — silently
-    # keeping the 64 MB broadcast threshold under a small real heap is
-    # exactly the OOM this scaling guards against.
-    _unit_mb = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
-    try:
-        if mem and mem[-1] in _unit_mb:
-            mem_mb = int(float(mem[:-1]) * _unit_mb[mem[-1]])
-        else:
-            mem_mb = int(float(mem) / (1024 * 1024))  # bare byte count
-    except ValueError:
-        import warnings
-
-        warnings.warn(
-            f"SPARK_GRAFT_DRIVER_MEM={mem!r} is not a JVM memory string; "
-            "assuming 8g for broadcast-threshold scaling"
-        )
-        mem_mb = 8192
+    mem_mb = _mem_mb(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     bcast = (64 if mem_mb >= 8192 else max(4, mem_mb // 256)) * 1024 * 1024
     builder = (
         SparkSession.builder.appName(app_name)

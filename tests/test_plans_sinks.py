@@ -611,3 +611,24 @@ def test_skew_join_strategies_plan_pins_protected_forms(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the salted branch's join condition carries the salt key
     assert "salt" in plan
+
+
+def test_mem_mb_uses_spark_size_grammar():
+    """Round-11 (r10 advice): SPARK_GRAFT_DRIVER_MEM feeds BOTH
+    spark.driver.memory (Spark parses bare numbers as MiB) and the
+    broadcast-threshold scaling — the two readings must share Spark's
+    grammar, or '4096' yields a 4 GiB heap with a 4 MB threshold."""
+    import warnings
+
+    from chilekids_etl_pipeline_spark.session import _mem_mb
+
+    assert _mem_mb("8g") == 8192
+    assert _mem_mb("2G") == 2048
+    assert _mem_mb("512m") == 512
+    assert _mem_mb("1048576k") == 1024
+    assert _mem_mb("1t") == 1024 * 1024
+    assert _mem_mb("4096") == 4096  # bare number: MiB, like Spark
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _mem_mb("not-a-size") == 8192
+    assert caught and "broadcast-threshold" in str(caught[0].message)

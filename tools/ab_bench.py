@@ -70,14 +70,25 @@ def run_tree(tree: str, sf_dir: str, names: list[str]) -> dict[str, float]:
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         out_path = tf.name
     try:
-        subprocess.run(
+        # capture output so a child failure raises with its stderr
+        # attached instead of a bare CalledProcessError (r10 advice);
+        # prepend the tree to any inherited PYTHONPATH rather than
+        # clobbering it
+        inherited = os.environ.get("PYTHONPATH")
+        pypath = tree if not inherited else tree + os.pathsep + inherited
+        proc = subprocess.run(
             [sys.executable, "-c", _CHILD, tree, sf_dir, out_path,
              json.dumps(names)],
-            check=True,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-            env={**os.environ, "PYTHONPATH": tree},
+            capture_output=True,
+            text=True,
+            env={**os.environ, "PYTHONPATH": pypath},
         )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"ab_bench child for tree {tree!r} exited "
+                f"{proc.returncode}; stderr tail:\n"
+                + proc.stderr[-4000:]
+            )
         with open(out_path) as f:
             return json.load(f)
     finally:
