@@ -62,12 +62,25 @@ _W_SPARK = words_sql("spark")
 _W_DUCK = words_sql("duckdb")
 
 # PLANTED-COPY SENTINEL: synthetic "new batch" rows are marked by
-# id + 100000, and the DuckDB oracles reconstruct the planted/base
-# split with `id >= 100000` while the Spark sides carry actual frames.
-# Natural doc_id/vec_id values must therefore stay BELOW 100000 in any
-# test dataset — tools/make_scale_data.py asserts this for generated
-# scale-ups (a violated sentinel shows up as asymmetric query/corpus
-# splits, observed once as an ann_lsh_cosine row blow-up at sf1).
+# id + PLANT_SENTINEL (default 100000), and the DuckDB oracles
+# reconstruct the planted/base split with `id >= 100000` while the
+# Spark sides carry actual frames. Natural doc_id/vec_id values must
+# therefore stay BELOW the sentinel in any test dataset —
+# tools/make_scale_data.py asserts this for generated scale-ups (a
+# violated sentinel shows up as asymmetric query/corpus splits,
+# observed once as an ann_lsh_cosine row blow-up at sf1).
+#
+# Round 11: the offset is env-configurable (SPARK_GRAFT_ID_SENTINEL)
+# for MEASUREMENT datasets only, so the scaling instrument can reach a
+# full decade of document scale (the k=18 replication ceiling was the
+# sentinel, not the generator — VERDICT r9 #4 / r10 #2). The default
+# keeps every gate-visible SQL string byte-identical; both dialects
+# interpolate the same module constant at import, so the convention
+# cannot fork. Generators built with --sentinel N must be measured
+# with SPARK_GRAFT_ID_SENTINEL=N in the environment.
+import os as _os
+
+PLANT_SENTINEL = int(_os.environ.get("SPARK_GRAFT_ID_SENTINEL", "100000"))
 
 # tail-truncated near-dup copies of every 10th doc (id + 100000)
 _TRUNC_SPARK = (
@@ -78,7 +91,7 @@ w0 AS (SELECT doc_id, {_W_DUCK} AS w FROM documents),
 docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id,
+    SELECT doc_id + {PLANT_SENTINEL} AS doc_id,
            array_to_string(w[1:greatest(len(w) - 5, 1)], ' ') AS text
     FROM w0 WHERE doc_id % 10 = 0
 )
@@ -90,7 +103,7 @@ def _docs_aug_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + PLANT_SENTINEL).alias("doc_id"),
             F.expr(_TRUNC_SPARK).alias("text"),
         )
     )
@@ -379,7 +392,7 @@ cand AS (
     SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
     FROM bands n
     JOIN bands c ON n.band = c.band AND n.band_sig = c.band_sig
-    WHERE n.doc_id >= 100000 AND c.doc_id < 100000
+    WHERE n.doc_id >= {PLANT_SENTINEL} AND c.doc_id < {PLANT_SENTINEL}
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 common AS (
@@ -413,10 +426,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
     shf = drop_hot_shingles(sh, df_cap_abs=_MINHASH_DF_ABS).persist()
     bands = minhash_bands(shf, num_hashes=12, band_size=3)
-    new_b = bands.filter(F.col("doc_id") >= 100000).select(
+    new_b = bands.filter(F.col("doc_id") >= PLANT_SENTINEL).select(
         F.col("doc_id").alias("new_id"), "band", "band_sig"
     )
-    corp_b = bands.filter(F.col("doc_id") < 100000).select(
+    corp_b = bands.filter(F.col("doc_id") < PLANT_SENTINEL).select(
         F.col("doc_id").alias("corpus_id"), "band", "band_sig"
     )
     cand = (
@@ -589,9 +602,10 @@ WITH w0 AS (SELECT doc_id, {_W_DUCK} AS w FROM documents),
 sdocs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + {PLANT_SENTINEL} AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 200000 AS doc_id,
+    SELECT doc_id + {2 * PLANT_SENTINEL} AS doc_id,
            array_to_string(w[1:greatest(len(w) - 5, 1)], ' ') AS text
     FROM w0 WHERE doc_id % 10 = 5
 ),
@@ -626,10 +640,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     exact = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_SENTINEL).alias("doc_id"), "text"
     )
     trunc = docs.filter(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 2 * PLANT_SENTINEL).alias("doc_id"),
         F.expr(_TRUNC_SPARK).alias("text"),
     )
     sdocs = docs.unionByName(exact).unionByName(trunc)

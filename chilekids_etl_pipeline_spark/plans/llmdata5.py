@@ -45,8 +45,10 @@ _CONTAIN_DF_PCT = 20  # keep shingles with df <= n_docs / 20 (5%)
 
 
 def _contain_docs_cte(dialect: str) -> str:
-    """Corpus + planted 12-word-prefix twins (id + 200000, every 40th
-    doc) whose shingles are all contained in their source."""
+    """Corpus + planted 12-word-prefix twins (id + 2·PLANT_SENTINEL,
+    every 40th doc) whose shingles are all contained in their source."""
+    from .llmdata import PLANT_SENTINEL
+
     w = words_sql(dialect)
     if dialect == "spark":
         prefix = f"array_join(slice({w}, 1, {_CONTAIN_PREFIX_WORDS}), ' ')"
@@ -55,7 +57,7 @@ def _contain_docs_cte(dialect: str) -> str:
     return f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 200000 AS doc_id, {prefix} AS text
+    SELECT doc_id + {2 * PLANT_SENTINEL} AS doc_id, {prefix} AS text
     FROM documents WHERE doc_id % 40 = 0
 """
 

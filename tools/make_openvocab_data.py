@@ -80,7 +80,12 @@ def retext(src: str, out: str) -> None:
         f"x -> x <> '')) AS n_words, lang, source "
         f"FROM '{src}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
-    assert rows and rows[-1][0] < 100_000, "doc_id sentinel violated"
+    sentinel = int(os.environ.get("SPARK_GRAFT_ID_SENTINEL", "100000"))
+    assert rows and rows[-1][0] < sentinel, (
+        f"doc_id sentinel violated (max {rows[-1][0]} >= {sentinel}); "
+        "for deep-doc sources set SPARK_GRAFT_ID_SENTINEL to the value "
+        "the source was generated with"
+    )
 
     rng = np.random.default_rng(SEED)
     cdf = zipf_cdf(VOCAB_SIZE, ZIPF_S)

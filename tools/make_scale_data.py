@@ -62,6 +62,19 @@ def main() -> int:
         "customer,supplier,part,orders,lineitem,events) skips them; copy "
         "their sf1 parquet alongside so every entry still loads.",
     )
+    ap.add_argument(
+        "--sentinel",
+        type=int,
+        default=100_000,
+        help="planted-id sentinel the output must respect (round 11, "
+        "VERDICT r10 #2): natural doc/vec ids stay BELOW this value. The "
+        "default matches the catalog's gate convention; a deep document "
+        "step (e.g. sf1 -> 10x docs) passes a larger value, and every "
+        "measurement against that output must set "
+        "SPARK_GRAFT_ID_SENTINEL to the same value so the plans' planted "
+        "copies land above the natural id range (plans/llmdata.py "
+        "PLANT_SENTINEL).",
+    )
     args = ap.parse_args()
     only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(args.out, exist_ok=True)
@@ -107,10 +120,18 @@ def main() -> int:
     s_doc = s_vec = 0
     if only is None or "documents" in only:
         s_doc = small_stride(max_key("documents", "doc_id"), 300)
-        assert max_key("documents", "doc_id") + (k - 1) * s_doc < 100_000
+        assert max_key("documents", "doc_id") + (k - 1) * s_doc < args.sentinel, (
+            "doc ids would cross the planted-id sentinel "
+            f"{args.sentinel}; lower --k or raise --sentinel (and measure "
+            "with SPARK_GRAFT_ID_SENTINEL set to match)"
+        )
     if only is None or "embeddings" in only:
         s_vec = small_stride(max_key("embeddings", "vec_id"), 50)
-        assert max_key("embeddings", "vec_id") + (k - 1) * s_vec < 100_000
+        assert max_key("embeddings", "vec_id") + (k - 1) * s_vec < args.sentinel, (
+            "vec ids would cross the planted-id sentinel "
+            f"{args.sentinel}; lower --k or raise --sentinel (and measure "
+            "with SPARK_GRAFT_ID_SENTINEL set to match)"
+        )
 
     rep = f"(SELECT unnest(range(0, {k})) AS i)"
 

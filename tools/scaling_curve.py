@@ -14,6 +14,13 @@ alpha ≈ 1 is linear (healthy), < 1 sublinear (output- or sketch-bounded),
 
 Usage: SPARK_GRAFT_CPUS=24 python tools/scaling_curve.py [--n 2]
 Writes SCALING_sf01_sf1.json.
+
+Deep-document steps (round 11): dirs generated with
+`make_scale_data --sentinel N` (natural doc ids above 100000) must be
+measured with SPARK_GRAFT_ID_SENTINEL=N in the environment so the
+plans' planted copies land above the natural id range; use the same
+value for BOTH dirs of the pair — the sentinel only moves planted ids,
+never the work, so the small side's timing is unaffected.
 """
 
 from __future__ import annotations
