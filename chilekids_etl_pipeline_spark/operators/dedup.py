@@ -86,8 +86,11 @@ def jaccard_pairs(
     bucket at df_cap_abs² pairs, making total pair work linear in the
     shingle count — the BFF/WIMBD-style guard a crawl-scale run should
     set (e.g. 256); it is OFF by default because it changes the filtered-
-    Jaccard semantics, and on open-vocabulary corpora content-shingle df
-    does not grow with corpus size.
+    Jaccard semantics. Do NOT assume open-vocabulary token statistics
+    make it unnecessary: head-of-Zipf trigrams DO grow their df with
+    the corpus, and the round-11 full-decade step (ov1 50k docs →
+    ovd10 500k) measured the relative-cap-only join at 3 s → >35 min
+    (alpha > 2.8) before dedup_ngram_jaccard adopted both caps.
     """
     if df_cap_denom is not None or df_cap_abs is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

@@ -184,6 +184,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SH_DUCK = shingles_sql("duckdb", "w")
 _JACCARD_DF_DENOM = 20  # drop shingles with df > n_docs/20 (5%) pre-join
+# Absolute stop-gram bound IN ADDITION to the relative cap (round 11).
+# The r9 open-vocab argument — "content-shingle df does not grow with
+# corpus size" — is false for head-of-Zipf trigrams: on the first full
+# decade of document scale (ov1 50k docs → ovd10 500k docs) the
+# relative-cap-only pair join ran 3 s → >35 min (alpha > 2.8, killed),
+# because the n/20 ceiling itself grows to 25k and every surviving
+# near-cap shingle contributes df² join rows. Same defect class and
+# same fix as _MINHASH_DF_ABS / the r10 estimator bend. Measured
+# no-op at gate scales (max shingle df at sf0.1 is 29).
+_JACCARD_DF_ABS = 256
 _JACCARD_ORACLE = f"""
 WITH {_DOCS_AUG_DUCK},
 wd AS (SELECT doc_id, {_W_DUCK} AS w FROM docs),
@@ -192,7 +202,8 @@ corpus AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
 hot AS (
     SELECT shingle FROM (
         SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
-    ) d CROSS JOIN corpus WHERE df * {_JACCARD_DF_DENOM} > n
+    ) d CROSS JOIN corpus
+    WHERE df * {_JACCARD_DF_DENOM} > n OR df > {_JACCARD_DF_ABS}
 ),
 shf AS (
     SELECT doc_id, shingle FROM sh
@@ -224,7 +235,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, and the anti-joined pair sides (CTE-inlining lesson).
     """
     sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
-    return jaccard_pairs(sh, 0.5, df_cap_denom=_JACCARD_DF_DENOM)
+    return jaccard_pairs(
+        sh, 0.5, df_cap_denom=_JACCARD_DF_DENOM, df_cap_abs=_JACCARD_DF_ABS
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,12 @@ _CONTAIN_N = 5  # shingle width
 _CONTAIN_PREFIX_WORDS = 12
 _CONTAIN_THRESHOLD = 0.8
 _CONTAIN_DF_PCT = 20  # keep shingles with df <= n_docs / 20 (5%)
+# Absolute stop-gram bound in addition to the relative cap (round 11,
+# same defect class as dedup_ngram_jaccard's decade-step quadratic: the
+# n/20 ceiling grows with the corpus, so near-cap shingles contribute
+# df² join rows — see plans/llmdata.py _JACCARD_DF_ABS). Measured no-op
+# at gate scales (max 3-gram df at sf0.1 is 29; 5-grams are rarer).
+_CONTAIN_DF_ABS = 256
 
 
 def _contain_docs_cte(dialect: str) -> str:
@@ -84,7 +90,7 @@ df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
     SELECT g FROM df CROSS JOIN corpus
-    WHERE n_docs * {_CONTAIN_DF_PCT} <= n
+    WHERE n_docs * {_CONTAIN_DF_PCT} <= n AND n_docs <= {_CONTAIN_DF_ABS}
 ),
 shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
 sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
