@@ -219,11 +219,22 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMH_N = 5        # shingle width
 _SIMH_DF_PCT = 20  # df cap: shingle must appear in <= n_docs/20 docs
+# Absolute stop-gram bound in addition to the relative cap (round 11):
+# the full-decade document step measured the relative-only candidate
+# join at alpha=1.364 on a 246 s wall — the same head-crossing
+# mechanism root-caused for dedup_ngram_jaccard (the n/20 ceiling grows
+# with the corpus, so Zipf-head shingles crossing into the kept band
+# contribute df^2 rows). No-op at gate scales (max 3-gram df at sf0.1
+# is 29; 5-grams are rarer still).
+_SIMH_DF_ABS = 256
 
 
 def _simhist_docs_cte(dialect: str) -> str:
     """Corpus + planted near-dups (drop the first 3 words of every 30th
-    doc) so the high-similarity buckets are populated."""
+    doc, id + 7·PLANT_SENTINEL — 700000 under the default convention)
+    so the high-similarity buckets are populated."""
+    from .llmdata import PLANT_SENTINEL
+
     w = words_sql(dialect)
     if dialect == "spark":
         tail = f"concat_ws(' ', slice({w}, 4, size({w})))"
@@ -232,7 +243,7 @@ def _simhist_docs_cte(dialect: str) -> str:
     return f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 700000 AS doc_id, {tail} AS text
+    SELECT doc_id + {7 * PLANT_SENTINEL} AS doc_id, {tail} AS text
     FROM documents WHERE doc_id % 30 = 0
 """
 
@@ -253,7 +264,8 @@ sh AS ({sh_body}),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
 corpus AS (SELECT count(*) AS n FROM docs),
 keep AS (
-    SELECT g FROM df CROSS JOIN corpus WHERE n_docs * {_SIMH_DF_PCT} <= n
+    SELECT g FROM df CROSS JOIN corpus
+    WHERE n_docs * {_SIMH_DF_PCT} <= n AND n_docs <= {_SIMH_DF_ABS}
 ),
 shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
