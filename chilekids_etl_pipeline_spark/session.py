@@ -104,7 +104,21 @@ def get_spark(app_name: str = "chilekids-etl-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.shuffle.partitions", cpus if cpus != "*" else "32")
+        # Shuffle width defaults to the thread count (local mode: one
+        # wave, no scheduling overhead), overridable because per-task
+        # memory is rows/partition: holding executor heap fixed while
+        # data grows 10x REQUIRES widening the shuffle, the same lever a
+        # real cluster pulls via shuffle.partitions/maxPartitionBytes
+        # tuning. The decade memory probes set this so partition volume
+        # stays constant across scale steps instead of silently growing
+        # 10x per step under a fixed thread count.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTS",
+                cpus if cpus != "*" else "32",
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(bcast))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # The oracle-compare harness collects full results driver-side
