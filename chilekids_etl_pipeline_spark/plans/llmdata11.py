@@ -254,7 +254,7 @@ _CER_TAIL = 120  # compare the last N chars — where the divergence lives
 
 
 def _cer_sql(dialect: str) -> str:
-    from .llmdata import _DOCS_AUG_DUCK
+    from .llmdata import _DOCS_AUG_DUCK, PLANT_SENTINEL
 
     idiv = _idiv(dialect)
     if dialect == "spark":
@@ -263,8 +263,8 @@ def _cer_sql(dialect: str) -> str:
         pairs_src = f"""(
     WITH {_DOCS_AUG_DUCK.strip()}
     SELECT r.doc_id, r.text AS ref_text, h.text AS hyp_text
-    FROM docs r JOIN docs h ON h.doc_id = r.doc_id + 100000
-    WHERE r.doc_id < 100000)"""
+    FROM docs r JOIN docs h ON h.doc_id = r.doc_id + {PLANT_SENTINEL}
+    WHERE r.doc_id < {PLANT_SENTINEL})"""
     tail = (
         f"substr({{c}}, greatest(length({{c}}) - {_CER_TAIL - 1}, 1))"
     )
@@ -297,16 +297,16 @@ def cer_pair_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair is free. The pairing itself is a plain equi-join on the doc
     key (shuffle-partitioned, broadcastable when one side is an eval
     slice)."""
-    from .llmdata import _docs_aug_spark
+    from .llmdata import _docs_aug_spark, PLANT_SENTINEL
 
     docs = _docs_aug_spark(spark, sf_dir)
     docs.createOrReplaceTempView("cer_docs_aug")
     spark.sql(
-        """
+        f"""
         SELECT r.doc_id, r.text AS ref_text, h.text AS hyp_text
         FROM cer_docs_aug r JOIN cer_docs_aug h
-          ON h.doc_id = r.doc_id + 100000
-        WHERE r.doc_id < 100000
+          ON h.doc_id = r.doc_id + {PLANT_SENTINEL}
+        WHERE r.doc_id < {PLANT_SENTINEL}
         """
     ).createOrReplaceTempView("cer_pairs_src")
     return spark.sql(_cer_sql("spark"))

@@ -335,6 +335,8 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dhash_sql(dialect: str, sigs_only: bool = False) -> str:
+    from .llmdata import PLANT_SENTINEL
+
     s = _s(dialect)
     idiv = _idiv(dialect)
     # fake decode: pixel (r, c) of the 8x9 grayscale downsample derives
@@ -380,7 +382,7 @@ WITH imgs AS (
     -- of each 10th (same bytes, new id) — the near-dup ground truth
     SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id % 3 = 0
     UNION ALL
-    SELECT doc_id + 100000, md5(text) FROM documents
+    SELECT doc_id + {PLANT_SENTINEL}, md5(text) FROM documents
     WHERE doc_id % 3 = 0 AND doc_id % 10 = 0
 ),
 pixels AS (

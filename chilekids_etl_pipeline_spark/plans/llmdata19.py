@@ -44,7 +44,13 @@ _YC_GRID = ("0.5", "0.6", "0.7", "0.8", "0.9")
 def _yield_docs_cte(dialect: str) -> str:
     # corpus + planted near-dups (first-3-words drop of every 30th doc),
     # the similarity_histogram population — the curve needs a real
-    # high-similarity mode to be worth reading
+    # high-similarity mode to be worth reading. 7·PLANT_SENTINEL keeps
+    # planted ids out of the natural range at any sentinel (matching
+    # llmdata8's similarity_histogram twin — ADVICE r11 #2: the old
+    # hardcoded +700000 collided with natural ids on sentinel-10⁶
+    # corpora).
+    from .llmdata import PLANT_SENTINEL
+
     w = words_sql(dialect)
     if dialect == "spark":
         tail = f"concat_ws(' ', slice({w}, 4, size({w})))"
@@ -53,7 +59,7 @@ def _yield_docs_cte(dialect: str) -> str:
     return f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 700000 AS doc_id, {tail} AS text
+    SELECT doc_id + {7 * PLANT_SENTINEL} AS doc_id, {tail} AS text
     FROM documents WHERE doc_id % 30 = 0
 """
 

@@ -690,9 +690,9 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The exact ground-truth side is quadratic in audit-corpus size by design,
 # so the audit runs on a deterministic stratified sample: keep base ids
-# with (id % DENOM) == 0, normalizing planted-twin ids (id % 100000) so
-# every twin stays in the same stratum as its source and planted pairs
-# survive sampling intact. At sf1 this cuts the all-shared-shingle join
+# with (id % DENOM) == 0, normalizing planted-twin ids (id % PLANT_SENTINEL,
+# the plant offset) so every twin stays in the same stratum as its source
+# and planted pairs survive sampling intact at any sentinel (ADVICE r11 #4). At sf1 this cuts the all-shared-shingle join
 # ~DENOM² (the r5 sweep's only red row: DuckDB spilled 70 GB on the full
 # corpus); at 100 TB the same stratum bound is what makes the QA runnable.
 _RECALL_SAMPLE_DENOM = 5
@@ -712,11 +712,11 @@ def _lsh_recall_oracle() -> str:
     """Composed lazily from llmdata's shared CTE templates (same corpus
     augmentation, shingles, MinHash bands) so the two measurement sides
     are definitionally the same data the production entries use."""
-    from .llmdata import _DOCS_AUG_DUCK, _SH_DUCK, _W_DUCK
+    from .llmdata import _DOCS_AUG_DUCK, _SH_DUCK, _W_DUCK, PLANT_SENTINEL
 
     return f"""
 WITH {_DOCS_AUG_DUCK.lstrip()},
-audit AS (SELECT doc_id, text FROM docs WHERE (doc_id % 100000) % {_RECALL_SAMPLE_DENOM} = 0),
+audit AS (SELECT doc_id, text FROM docs WHERE (doc_id % {PLANT_SENTINEL}) % {_RECALL_SAMPLE_DENOM} = 0),
 wd AS (SELECT doc_id, {_W_DUCK} AS w FROM audit),
 sh0 AS (SELECT doc_id, unnest({_SH_DUCK}) AS shingle FROM wd),
 hot AS (
@@ -803,10 +803,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_bands,
         shingle_rows,
     )
-    from .llmdata import _docs_aug_spark
+    from .llmdata import _docs_aug_spark, PLANT_SENTINEL
 
     audit = _docs_aug_spark(spark, sf_dir).filter(
-        (F.col("doc_id") % 100000) % _RECALL_SAMPLE_DENOM == 0
+        (F.col("doc_id") % PLANT_SENTINEL) % _RECALL_SAMPLE_DENOM == 0
     )
     sh = drop_hot_shingles(
         shingle_rows(audit), df_cap_abs=_recall_df_cap()

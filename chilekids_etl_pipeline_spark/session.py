@@ -45,7 +45,10 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
 def _mem_mb(mem: str) -> int:
     """Parse a memory string with Spark's size-conf grammar (JavaUtils
     .byteStringAsMb — the parser ``spark.driver.memory`` itself goes
-    through): k/m/g/t suffix, bare numbers default to MiB. One grammar
+    through): k/m/g/t/p suffix with optional trailing 'b' (kb/mb/gb/
+    tb/pb are equally valid JVM strings — ADVICE r11 #5: '4gb' used to
+    warn and fall back to the 8g-scaled threshold while the actual heap
+    was 4 GiB), bare numbers default to MiB. One grammar
     for both uses of SPARK_GRAFT_DRIVER_MEM, so '4096' means a 4 GiB
     heap AND a 4 GiB-scaled broadcast threshold (r10 advice: the old
     bare-bytes reading here gave mem_mb=0 for the same string Spark
@@ -54,11 +57,20 @@ def _mem_mb(mem: str) -> int:
     under a small real heap is exactly the OOM the threshold scaling
     guards against."""
     mem = mem.lower().strip()
-    unit_mb = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    unit_mb = {
+        "k": 1 / 1024,
+        "m": 1,
+        "g": 1024,
+        "t": 1024 * 1024,
+        "p": 1024 * 1024 * 1024,
+    }
     try:
-        if mem and mem[-1] in unit_mb:
-            return int(float(mem[:-1]) * unit_mb[mem[-1]])
-        return int(float(mem))  # bare number: MiB, Spark's default unit
+        body = mem
+        if body.endswith("b") and len(body) > 1 and body[-2] in unit_mb:
+            body = body[:-1]  # JavaUtils accepts kb/mb/gb/tb/pb too
+        if body and body[-1] in unit_mb:
+            return int(float(body[:-1]) * unit_mb[body[-1]])
+        return int(float(body))  # bare number: MiB, Spark's default unit
     except ValueError:
         import warnings
 

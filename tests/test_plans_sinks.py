@@ -628,6 +628,14 @@ def test_mem_mb_uses_spark_size_grammar():
     assert _mem_mb("1048576k") == 1024
     assert _mem_mb("1t") == 1024 * 1024
     assert _mem_mb("4096") == 4096  # bare number: MiB, like Spark
+    # JavaUtils also accepts the two-letter forms kb/mb/gb/tb/pb
+    # (ADVICE r11 #5: '4gb' used to warn and threshold-scale as 8g
+    # while the JVM heap it configured was 4 GiB)
+    assert _mem_mb("4gb") == 4096
+    assert _mem_mb("512MB") == 512
+    assert _mem_mb("2tb") == 2 * 1024 * 1024
+    assert _mem_mb("1pb") == 1024 * 1024 * 1024
+    assert _mem_mb("1048576kb") == 1024
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         assert _mem_mb("not-a-size") == 8192
