@@ -116,11 +116,13 @@ def _docs_aug_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maybe_rebalance(docs.unionByName(planted))
 
 
-# embeddings as double vectors + perturbed copies of every 25th (id + 100000)
-_VECS_DUCK = """
+# embeddings as double vectors + perturbed copies of every 25th
+# (id + PLANT_SENTINEL — the vector axis shares the document axis's
+# sentinel so decade-scale corpora can raise both in one env var)
+_VECS_DUCK = f"""
 base AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
          FROM embeddings),
-planted AS (SELECT vec_id + 100000 AS vec_id,
+planted AS (SELECT vec_id + {PLANT_SENTINEL} AS vec_id,
                    list_concat([v[1] + 0.05], v[2:len(v)]) AS v
             FROM base WHERE vec_id % 25 = 0)
 """
@@ -143,7 +145,7 @@ def _vecs_spark(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     )
     planted = (
         base.filter(F.col("vec_id") % 25 == 0)
-        .select((F.col("vec_id") + 100000).alias("vec_id"), F.expr(_PERTURB_SPARK).alias("vec"))
+        .select((F.col("vec_id") + PLANT_SENTINEL).alias("vec_id"), F.expr(_PERTURB_SPARK).alias("vec"))
     )
     return base, planted
 
@@ -152,11 +154,11 @@ def _vecs_spark(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 # 19. exact dedup
 
 
-_EXACT_ORACLE = """
+_EXACT_ORACLE = f"""
 WITH docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + {PLANT_SENTINEL}, text FROM documents WHERE doc_id % 10 = 0
 ),
 h AS (SELECT doc_id, md5(text) AS text_hash FROM docs)
 SELECT doc_id, text_hash,
@@ -173,7 +175,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (main.py:194-204) distributed."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_SENTINEL).alias("doc_id"), "text"
     )
     return exact_duplicates(docs.unionByName(planted))
 
@@ -692,7 +694,7 @@ SELECT q.vec_id AS new_id, c.vec_id AS dup_of,
                                         p -> p[1] * p[2]),
                          (a, b) -> a + b) / (q.nrm * c.nrm), 6) AS cosine
 FROM norms q CROSS JOIN norms c
-WHERE q.vec_id >= 100000 AND c.vec_id < 100000
+WHERE q.vec_id >= {PLANT_SENTINEL} AND c.vec_id < {PLANT_SENTINEL}
   AND round(list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
                         (a, b) -> a + b) / (q.nrm * c.nrm), 6) >= 0.98
 """
@@ -852,9 +854,9 @@ norms AS (
     FROM allv
 ),
 q AS (SELECT n.vec_id, n.v, n.nrm, s.sig FROM norms n JOIN sig s USING (vec_id)
-      WHERE n.vec_id >= 100000),
+      WHERE n.vec_id >= {PLANT_SENTINEL}),
 c AS (SELECT n.vec_id, n.v, n.nrm, s.sig FROM norms n JOIN sig s USING (vec_id)
-      WHERE n.vec_id < 100000),
+      WHERE n.vec_id < {PLANT_SENTINEL}),
 pairs AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),

@@ -225,13 +225,15 @@ def _sem_exprs(dialect: str) -> tuple[str, str, str, str]:
 
 def _sem_norms_sql(dialect: str) -> str:
     """Standalone statement producing the (vec_id, v, nrm) table."""
+    from .llmdata import PLANT_SENTINEL
+
     vec, planted, _, nrm = _sem_exprs(dialect)
     return f"""
 WITH base AS (SELECT vec_id, {vec} AS v FROM embeddings),
 withdups AS (
     SELECT * FROM base
     UNION ALL
-    SELECT vec_id + 100000 AS vec_id, {planted} AS v
+    SELECT vec_id + {PLANT_SENTINEL} AS vec_id, {planted} AS v
     FROM base WHERE vec_id % 25 = 0
 )
 SELECT vec_id, v, {nrm} AS nrm FROM withdups
@@ -261,6 +263,8 @@ SELECT vec_id, centroid_id FROM assign WHERE crank = 1
 
 
 def _semdedup_sql(dialect: str, norms_src: str | None = None) -> str:
+    from .llmdata import PLANT_SENTINEL
+
     vec, planted, dot, nrm = _sem_exprs(dialect)
     # norms_src lets the Spark side substitute a persisted norm table:
     # the norms CTE is referenced four times (centroid extract, the
@@ -276,7 +280,7 @@ WITH base AS (SELECT vec_id, {vec} AS v FROM embeddings),
 withdups AS (
     SELECT * FROM base
     UNION ALL
-    SELECT vec_id + 100000 AS vec_id, {planted} AS v
+    SELECT vec_id + {PLANT_SENTINEL} AS vec_id, {planted} AS v
     FROM base WHERE vec_id % 25 = 0
 ),
 norms AS ({norms_body}),
