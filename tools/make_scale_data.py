@@ -63,6 +63,22 @@ def main() -> int:
         "their sf1 parquet alongside so every entry still loads.",
     )
     ap.add_argument(
+        "--vec-mode",
+        choices=("nudge", "shift"),
+        default="nudge",
+        help="embedding replica decorrelation. 'nudge' (default, the "
+        "historical scheme) adds i*0.001 to the first component — "
+        "replicas stay ~0.9999 cosine to their source, so every planted "
+        "near-dup matches ALL k replicas and pair output grows k^2; fine "
+        "for the business-table sweeps where the vector family isn't the "
+        "target. 'shift' cyclically rotates each replica's components by "
+        "i positions (components are mean-centered: measured cos(x, "
+        "shift(x)) avg 0.009 / max 0.38) so replicas are DECORRELATED and "
+        "planted-neighbor density stays constant across the step — the "
+        "required mode for vector-axis scaling decades, where a k^2 pair "
+        "blow-up would masquerade as a compute quadratic.",
+    )
+    ap.add_argument(
         "--sentinel",
         type=int,
         default=100_000,
@@ -174,11 +190,27 @@ def main() -> int:
                n_chars + CASE WHEN i = 0 THEN 0
                               ELSE length(' zrep' || i) END AS n_chars
         FROM {src('documents')} CROSS JOIN {rep}""")
-    emit("embeddings", f"""
-        SELECT vec_id + i * {s_vec} AS vec_id,
+    if args.vec_mode == "shift":
+        # cyclic rotation by (i % dim) decorrelates the replica; the
+        # first-component nudge keeps i = dim, 2*dim, ... (shift 0)
+        # from being exact duplicates of the source when k > dim
+        emb_expr = """
+               CASE WHEN i = 0 THEN embedding
+                    WHEN i % len(embedding) = 0 THEN
+                         [embedding[1] + cast(i AS float) * 0.001]
+                         || embedding[2:]
+                    ELSE list_concat(
+                         embedding[(1 + (i % len(embedding))):],
+                         embedding[1:(i % len(embedding))])
+               END AS embedding"""
+    else:
+        emb_expr = """
                CASE WHEN i = 0 THEN embedding
                     ELSE [embedding[1] + cast(i AS float) * 0.001]
-                         || embedding[2:] END AS embedding,
+                         || embedding[2:] END AS embedding"""
+    emit("embeddings", f"""
+        SELECT vec_id + i * {s_vec} AS vec_id,
+               {emb_expr},
                label
         FROM {src('embeddings')} CROSS JOIN {rep}""")
     return 0
