@@ -236,7 +236,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle table is persisted once — it feeds the corpus count, the hot
     set, and the anti-joined pair sides (CTE-inlining lesson).
     """
-    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).persist()
+    # eager localCheckpoint, not persist: jaccard_pairs reads sh from
+    # five subtrees (df table, corpus count, per-doc counts, both pair
+    # sides) that run as concurrent stages and race a lazily-built
+    # cache into duplicate re-shingles (see
+    # llmdata20.minhash_estimate_error).
+    sh = shingle_rows(_docs_aug_spark(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     return jaccard_pairs(
         sh, 0.5, df_cap_denom=_JACCARD_DF_DENOM, df_cap_abs=_JACCARD_DF_ABS
     )
@@ -333,6 +340,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while the groupBy df is map-side combined and the anti-join is
     # broadcast, so no shingle-keyed exchange of the big table exists.
     sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
+    # lazy persist, deliberately: the r12 stage profile shows the band
+    # self-join sides and both verify docset sides racing the
+    # lazily-built cache into 4 scan+shingle pipelines (11.1 + 9.2 +
+    # 7.9 + 7.2 executor-seconds) — but an eager localCheckpoint was
+    # A/B-measured WORSE (+0.47 s median, AB_r12_batch2): the racing
+    # recomputes overlap across all cores, while the checkpoint
+    # serializes materialization before any consumer starts (the same
+    # verdict as dedup_simhash_pairs' sig persist).
     shf = drop_hot_shingles(sh, df_cap_abs=_MINHASH_DF_ABS).persist()
     bands = minhash_bands(shf, num_hashes=12, band_size=3)
     cand = lsh_candidate_pairs(bands)
@@ -439,6 +454,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch scales with the corpus, the %10 planted convention here).
     A no-op on the driver gate corpora, like the main entry."""
     sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
+    # lazy persist, deliberately: an eager localCheckpoint A/B-measured
+    # +1.40 s median here (AB_r12_batch2) — overlapping racing
+    # recomputes beat serialized materialization, same verdict as
+    # dedup_minhash_lsh above.
     shf = drop_hot_shingles(sh, df_cap_abs=_MINHASH_DF_ABS).persist()
     bands = minhash_bands(shf, num_hashes=12, band_size=3)
     new_b = bands.filter(F.col("doc_id") >= PLANT_SENTINEL).select(

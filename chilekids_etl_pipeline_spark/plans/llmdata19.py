@@ -189,7 +189,12 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH docs AS ({_yield_docs_cte('spark')}) "
         f"SELECT doc_id, explode({grams_expr}) AS g FROM docs"
     )
-    sh.persist().createOrReplaceTempView("yield_sh_mat")
+    # eager localCheckpoint, not persist: sh's consumers (df cap, sizes,
+    # both pair-join sides) run as concurrent stages and raced the
+    # not-yet-built cache into duplicate re-shingles (r12 stage profile:
+    # 23.5 + 8.8 executor-seconds); checkpointed blocks are referenced
+    # structurally, so the explode runs once.
+    sh.localCheckpoint(eager=True).createOrReplaceTempView("yield_sh_mat")
     # NOT persisted: the scored-pair table. Although two CTEs (dropped,
     # pair_counts) consume `jac`, Spark's ReusedExchange already shares
     # the expensive shingle self-join between them — an explicit

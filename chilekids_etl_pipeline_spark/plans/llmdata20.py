@@ -265,15 +265,38 @@ hd AS (
 ),
 """ if shf_src is None else f"""hd AS (SELECT doc_id, h1, h2 FROM {shf_src}),
 """
-    return f"""
-WITH docs AS (SELECT doc_id, text FROM documents),
-{hd_chain}
--- 12-hash Carter-Wegman MinHash signature: ONE md5 per shingle
--- (h1, h2), permutation k evaluated as h1 + k*h2 (Broder; bounds
--- h1 < 2^60, h2 < 2^52 keep 64-bit arithmetic overflow-free) — the
--- same construction dedup_minhash_lsh ships, so this audits the
--- production estimator at production cost
-{_sigw_chain(_MH_HASHES)},
+    if dialect == "spark":
+        # Fused audit tail (r12): per-doc sizes are ONE MORE aggregate
+        # column of the signature groupBy (sigagg), not a second
+        # aggregation pass over hd — and the pair table then joins ONE
+        # doc-keyed table per side instead of two (sizes + sigw were
+        # each joined twice). Same integer arithmetic on the same
+        # operands, so results are value-identical; the oracle keeps
+        # the two-table shape.
+        mins = ", ".join(
+            f"min(h1 + {k} * h2) AS m{k}" for k in range(_MH_HASHES)
+        )
+        jac = "((i.i * 1000000) DIV ((a.sz + b.sz) - i.i))"
+        tail = f"""sigagg AS (
+    SELECT doc_id, count(*) AS sz, {mins}
+    FROM hd GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM hd a JOIN hd b ON a.h1 = b.h1 AND a.h2 = b.h2
+                       AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+errs AS (
+    SELECT abs((cast({_match_sum(_MH_HASHES, "{a} = {b}")} AS bigint)
+                * 1000000) DIV {_MH_HASHES} - {jac}) AS err_micro,
+           {jac} AS jac_micro
+    FROM inter i
+    JOIN sigagg a ON a.doc_id = i.doc_a
+    JOIN sigagg b ON b.doc_id = i.doc_b
+)"""
+    else:
+        tail = f"""{_sigw_chain(_MH_HASHES)},
 sizes AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -288,8 +311,6 @@ exact AS (
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
 ),
--- signature agreement over the SAME candidate pairs: one row per pair,
--- match count as an integer projection over the signature columns
 errs AS (
     SELECT abs((cast({_match_sum(_MH_HASHES, "{a} = {b}")} AS bigint)
                 * 1000000) {idiv} {_MH_HASHES} - e.jac_micro) AS err_micro,
@@ -297,7 +318,16 @@ errs AS (
     FROM exact e
     JOIN sigw a ON a.doc_id = e.doc_a
     JOIN sigw b ON b.doc_id = e.doc_b
-)
+)"""
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{hd_chain}
+-- 12-hash Carter-Wegman MinHash signature: ONE md5 per shingle
+-- (h1, h2), permutation k evaluated as h1 + k*h2 (Broder; bounds
+-- h1 < 2^60, h2 < 2^52 keep 64-bit arithmetic overflow-free) — the
+-- same construction dedup_minhash_lsh ships, so this audits the
+-- production estimator at production cost
+{tail}
 SELECT jac_micro {idiv} 250000 AS jac_band,
        cast(count(*) AS bigint) AS n_pairs,
        cast(sum(err_micro) AS bigint) {idiv} count(*) AS mean_err_micro,
@@ -349,5 +379,15 @@ keep AS (
 SELECT sh.doc_id, {h1} AS h1, {h2} AS h2
 FROM sh JOIN keep ON sh.g = keep.g
 """)
-    hd.persist().createOrReplaceTempView("mhe_hd_mat")
+    # localCheckpoint, not persist: the consumer query's four subtrees
+    # (sigw, sizes, both pair-join sides) become runnable stages
+    # CONCURRENTLY, and the r12 stage profile showed each of them
+    # recomputing the full explode+md5+conv pipeline (18.5 + 10.9 +
+    # 10.7 executor-seconds for one 5.5 MB table) — the persist's cache
+    # entry was not substituted into the executed consumer plan (the
+    # temp-view/CacheManager plan-matching path is invalidated by the
+    # per-call createOrReplaceTempView churn). An eager localCheckpoint
+    # materializes ONCE, and consumers reference the checkpointed
+    # blocks structurally (LogicalRDD) — no plan matching to miss.
+    hd.localCheckpoint(eager=True).createOrReplaceTempView("mhe_hd_mat")
     return spark.sql(_mh_err_sql("spark", shf_src="mhe_hd_mat"))

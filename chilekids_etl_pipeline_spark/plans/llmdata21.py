@@ -263,10 +263,42 @@ hd AS (
 ),
 """ if shf_src is None else f"""hd AS (SELECT doc_id, h1, h2 FROM {shf_src}),
 """
-    return f"""
-WITH docs AS (SELECT doc_id, text FROM documents),
-{hd_chain}
-{_sigw_chain(_BB_HASHES)},
+    if dialect == "spark":
+        # Fused audit tail (r12, same rewrite as minhash_estimate_error):
+        # sizes become one more aggregate column of the signature
+        # groupBy, and the pair table joins ONE doc-keyed table per side
+        # instead of two. Value-identical arithmetic; the oracle keeps
+        # the two-table shape.
+        mins = ", ".join(
+            f"min(h1 + {k} * h2) AS m{k}" for k in range(_BB_HASHES)
+        )
+        jac = "((i.i * 1000000) DIV ((a.sz + b.sz) - i.i))"
+        tail = f"""sigagg AS (
+    SELECT doc_id, count(*) AS sz, {mins}
+    FROM hd GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM hd a JOIN hd b ON a.h1 = b.h1 AND a.h2 = b.h2
+                       AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+est AS (
+    SELECT {jac} AS jac_micro,
+           (cast({_match_sum(_BB_FULL, "{a} = {b}")} AS bigint)
+            * 1000000) DIV {_BB_FULL} AS full_micro,
+           greatest(
+               cast(0 AS bigint),
+               2 * ((cast({_match_sum(_BB_HASHES, "{a} % 2 = {b} % 2")}
+                          AS bigint)
+                     * 1000000) DIV {_BB_HASHES}) - 1000000
+           ) AS bbit_micro
+    FROM inter i
+    JOIN sigagg a ON a.doc_id = i.doc_a
+    JOIN sigagg b ON b.doc_id = i.doc_b
+)"""
+    else:
+        tail = f"""{_sigw_chain(_BB_HASHES)},
 sizes AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -299,7 +331,11 @@ est AS (
     FROM exact e
     JOIN sigw a ON a.doc_id = e.doc_a
     JOIN sigw b ON b.doc_id = e.doc_b
-)
+)"""
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{hd_chain}
+{tail}
 SELECT jac_micro {idiv} 250000 AS jac_band,
        cast(count(*) AS bigint) AS n_pairs,
        cast(sum(abs(bbit_micro - jac_micro)) AS bigint) {idiv} count(*)
@@ -352,5 +388,11 @@ keep AS (
 SELECT sh.doc_id, {h1} AS h1, {h2} AS h2
 FROM sh JOIN keep ON sh.g = keep.g
 """)
-    hd.persist().createOrReplaceTempView("bbit_hd_mat")
+    # eager localCheckpoint, not persist: the consumer's subtrees (sigw,
+    # sizes, both pair-join sides) run as CONCURRENT stages and each
+    # recomputed the explode+md5+conv pipeline under the racing cache
+    # (r12 stage profile: 16.4 + 12.1 + 11.2 executor-seconds); the
+    # checkpointed blocks are referenced structurally, so the pipeline
+    # runs exactly once (see llmdata20.minhash_estimate_error).
+    hd.localCheckpoint(eager=True).createOrReplaceTempView("bbit_hd_mat")
     return spark.sql(_bbit_sql("spark", shf_src="bbit_hd_mat"))

@@ -580,20 +580,31 @@ def _pipeline_dedup_sql(dialect: str) -> str:
     stops = stop_hits_sql(
         dialect, w, ["the", "a", "of", "and", "is", "to", "in"]
     )
-    return f"""
-WITH scored AS (
-    SELECT doc_id,
-           1.0 / (1.0 + exp(-({_W0} + {_W_LOGN} * ln(1 + {nw})
+    score = f"""1.0 / (1.0 + exp(-({_W0} + {_W_LOGN} * ln(1 + {nw})
                + {_W_STOP} * ({stops} / cast({nw} AS double))
                + {_W_AWL} * (length(text) / cast({nw} AS double))
-               + {_W_DIST} * ({nd} / cast({nw} AS double))))) AS score
+               + {_W_DIST} * ({nd} / cast({nw} AS double)))))"""
+    if dialect == "spark":
+        # doc_id is unique in documents, so the scored-join form below
+        # is a filter in disguise — fusing it removes one full scan of
+        # documents plus the join (r12; the oracle keeps the join form,
+        # results identical by key uniqueness)
+        kept = f"""kept AS (
+    SELECT doc_id, text, lang, source FROM documents
+    WHERE {nw} >= 1 AND ({score}) > 0.5
+)"""
+    else:
+        kept = f"""scored AS (
+    SELECT doc_id, {score} AS score
     FROM documents WHERE {nw} >= 1
 ),
 kept AS (
     SELECT d.doc_id, d.text, d.lang, d.source
     FROM documents d JOIN scored s ON d.doc_id = s.doc_id
     WHERE s.score > 0.5
-),
+)"""
+    return f"""
+WITH {kept},
 canon AS (
     SELECT doc_id, text, lang, source,
            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -680,6 +691,8 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields one split, and the persisted survivors inherit partitioning —
     # without the rebalance the whole gram-explosion stage runs on one
     # task (at cluster scale, file layout provides this)
+    # lazy persist (eager localCheckpoint A/B-measured slower here,
+    # AB_r12_batch2 — racing recomputes overlap; see dedup_minhash_lsh)
     dedup = maybe_rebalance(spark.sql(_pipeline_dedup_sql("spark"))).persist()
     dedup.createOrReplaceTempView("dedup_docs")
     return spark.sql(_pipeline_rest_sql("spark", "dedup_docs"))

@@ -134,7 +134,12 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH docs AS ({_contain_docs_cte('spark')}) "
         f"SELECT doc_id, explode({grams_expr}) AS g FROM docs"
     )
-    sh.persist().createOrReplaceTempView("contain_sh_mat")
+    # eager localCheckpoint, not persist: the four sh consumers run as
+    # CONCURRENT stages of one job and each raced the not-yet-built
+    # cache into a full re-shingle (r12 stage profile: 23.8 + 10.3
+    # executor-seconds duplicated); checkpointed blocks are referenced
+    # structurally, so the explode runs once.
+    sh.localCheckpoint(eager=True).createOrReplaceTempView("contain_sh_mat")
     return spark.sql(_containment_sql("spark", sh_src="contain_sh_mat"))
 
 

@@ -137,6 +137,9 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = spark.sql(
         f"WITH docs AS ({_sub_docs_cte('spark')}) {_sub_pos_grams('spark')}"
     )
+    # lazy persist: eager localCheckpoint A/B-measured +0.17 s median
+    # (AB_r12_batch2) — overlapping racing recomputes beat the
+    # serialized materialization barrier here.
     grams.persist().createOrReplaceTempView("sub_grams_mat")
     return spark.sql(_substring_sql("spark", grams_src="sub_grams_mat"))
 
@@ -386,6 +389,9 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rev).alias("rn_rev"),
         *lead_cols,
     )
+    # lazy persist: eager localCheckpoint A/B-measured +0.32 s median
+    # here (AB_r12_batch3) — the racing body/strip recomputes overlap
+    # across cores and beat the serialized materialization barrier.
     ranked.persist()
 
     def _explode_pairs(df):

@@ -152,6 +152,8 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT word, cast(count(*) AS bigint) AS c FROM "
         f"(SELECT explode({w}) AS word FROM documents) u GROUP BY word"
     )
+    # lazy persist: TWO eager localCheckpoints serialize two blocking
+    # materializations and A/B-measured +0.79 s median (AB_r12_batch2)
     allbi.persist().createOrReplaceTempView("pmi_allbi_mat")
     uni.persist().createOrReplaceTempView("pmi_uni_mat")
     return spark.sql(
@@ -315,7 +317,13 @@ def similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH docs AS ({_simhist_docs_cte('spark')}) "
         f"SELECT doc_id, explode({grams_expr}) AS g FROM docs"
     )
-    sh.persist().createOrReplaceTempView("simhist_sh_mat")
+    # eager localCheckpoint, not persist: the four sh consumers run as
+    # concurrent stages of one job and raced the not-yet-built cache
+    # into duplicate re-shingles (r12 stage profile: 26.0 + 11.8
+    # executor-seconds); checkpointed blocks are referenced
+    # structurally, so the explode runs once. lsh_band_tuning inherits
+    # the same fix through this function.
+    sh.localCheckpoint(eager=True).createOrReplaceTempView("simhist_sh_mat")
     return spark.sql(_simhist_sql("spark", sh_src="simhist_sh_mat"))
 
 
