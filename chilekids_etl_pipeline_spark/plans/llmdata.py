@@ -1333,6 +1333,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     cnt2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # r12 tried deriving cnt1 from cnt2 (c1 = sum of c2 over w2) to drop
+    # one corpus explode; AQE never reused the cnt2 exchange, so the plan
+    # gained a second (w1, w2)-wide shuffle instead — +0.27 s median,
+    # worse in 6/6 alternating rounds (AB_r12_bigram_revert.json). Keep
+    # the direct narrow groupBy.
     cnt1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (
         docs.select(F.explode(F.expr(_W_SPARK)).alias("tok"))

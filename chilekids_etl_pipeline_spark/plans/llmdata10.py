@@ -547,28 +547,44 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 merged = F.replace(merged, F.lit(pat), F.lit(rep))
             tok = tok.withColumn("tok", F.trim(merged)).persist()
             cached.append(tok)
-            stats = (
-                tok.select(
-                    "cnt", F.explode(F.split(F.col("tok"), " ")).alias("t")
+            rows.append((r, p1, p2, int(pc)))
+        # Post-merge stats for ALL rounds in ONE job (r12): the loop's
+        # per-round blocking stats collect added a full job round-trip
+        # per round on top of the unavoidable top-pair pick; every
+        # tok_r is persisted (materialized by round r+1's pair scan
+        # or here), so a single union-of-aggregates reads cached blocks.
+        if rows:
+            stats_df = None
+            for r, _p1, _p2, _pc in rows:
+                s = (
+                    cached[r]
+                    .select(
+                        "cnt",
+                        F.explode(F.split(F.col("tok"), " ")).alias("t"),
+                    )
+                    .agg(
+                        F.sum("cnt").cast("long").alias("corpus_tokens_after"),
+                        F.count_distinct("t").cast("long").alias(
+                            "token_types_after"
+                        ),
+                    )
+                    .select(F.lit(r).alias("round"), "*")
                 )
-                .agg(
-                    F.sum("cnt").cast("long").alias("corpus_tokens_after"),
-                    F.count_distinct("t").cast("long").alias(
-                        "token_types_after"
-                    ),
-                )
-                .collect()[0]
-            )
-            rows.append(
+                stats_df = s if stats_df is None else stats_df.unionByName(s)
+            stats = {
+                row["round"]: row for row in stats_df.collect()
+            }
+            rows = [
                 (
                     r,
                     p1,
                     p2,
-                    int(pc),
-                    int(stats.corpus_tokens_after),
-                    int(stats.token_types_after),
+                    pc,
+                    int(stats[r].corpus_tokens_after),
+                    int(stats[r].token_types_after),
                 )
-            )
+                for r, p1, p2, pc in rows
+            ]
     finally:
         for df in cached:
             df.unpersist()

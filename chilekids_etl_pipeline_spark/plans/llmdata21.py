@@ -219,6 +219,11 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Companions: ann_ivf_cosine (same cells, raw-float ranking — the
     recall reference), embedding_quantize_int8 (scalar quantization),
     quantization_recall_probe (the recall-vs-compression audit)."""
+    # r12 tried forcing the widening exchange below the 2 MB gate (stage
+    # profile showed 3 serialized single-task PQ stages at sf0.1): +0.63 s
+    # median, worse in 6/6 alternating rounds — the exchange ships every
+    # vector and costs more than the freed parallelism at gate-scale
+    # (AB_r12_ivfpq_revert.json). Above the gate the rebalance fires anyway.
     rebalance_if_big(
         load_table(spark, sf_dir, "embeddings"), min_bytes=2 << 20
     ).createOrReplaceTempView("embeddings")
