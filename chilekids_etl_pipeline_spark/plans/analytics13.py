@@ -42,17 +42,21 @@ _THETA_K = 64
 _HASH_SPACE = 4294967296  # 2^32 — the h32 range
 
 
-def _theta_sql(dialect: str) -> str:
+def _theta_sketch_cte(dialect: str) -> str:
+    """The sketch-building pass: one distinct scan of the fact table,
+    then a per-segment min-k rank. Split out so the Spark entry can
+    materialize the (k x |segments|)-row result ONCE — the pair-algebra
+    template references ``sketch`` five times, and without the seam
+    every reference re-plans (and pre-reuse, re-scans) the fact table:
+    the r12 plan audit counted 22 parquet scans / 51 Exchanges in the
+    inlined plan."""
     s = _s(dialect)
-    idiv = _idiv(dialect)
     h = _h32(
         dialect,
         f"concat(cast(user_id AS {s}), ':', "
         f"cast(cast(ts AS date) AS {s}), ':kmv')",
     )
-    k = _THETA_K
-    return f"""
-WITH hashes AS (
+    return f"""hashes AS (
     -- one distinct 32-bit hash per (segment, active user-day): the only
     -- pass that touches the fact table
     SELECT DISTINCT event_type, {h} AS h FROM events
@@ -63,7 +67,19 @@ ranked AS (
            count(*) OVER (PARTITION BY event_type) AS n_seg
     FROM hashes
 ),
-sketch AS (SELECT * FROM ranked WHERE rk <= {k}),
+sketch AS (SELECT * FROM ranked WHERE rk <= {_THETA_K})"""
+
+
+def _theta_sql(dialect: str, sketch_src: str | None = None) -> str:
+    idiv = _idiv(dialect)
+    k = _THETA_K
+    sketch_ctes = (
+        f"sketch AS (SELECT event_type, h, rk, n_seg FROM {sketch_src})"
+        if sketch_src
+        else _theta_sketch_cte(dialect)
+    )
+    return f"""
+WITH {sketch_ctes},
 theta AS (
     -- per-segment sketch summary: k-th smallest hash = theta; if the
     -- segment has < k distinct values the sketch is exhaustive
@@ -160,7 +176,18 @@ def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     operations that make sketches composable, the property that lets
     100 TB segment-overlap questions run on kilobytes."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_theta_sql("spark"))
+    # Materialize the sketch ONCE (r12, guide §2.4/§8 "decide on small
+    # rows"): the pair-algebra template references `sketch` five times,
+    # and the fully-inlined plan re-planned the fact scan per reference
+    # (22 parquet scans / 51 Exchanges, PLAN_AUDIT_r12.json). The sketch
+    # is k x |segments| rows (~320), so the eager checkpoint is
+    # metadata-sized; every algebra join then reads materialized blocks
+    # and the fact table is scanned exactly once.
+    sketch = spark.sql(f"WITH {_theta_sketch_cte('spark')} SELECT * FROM sketch")
+    sketch.localCheckpoint(eager=True).createOrReplaceTempView(
+        "theta_sketch_mat"
+    )
+    return spark.sql(_theta_sql("spark", sketch_src="theta_sketch_mat"))
 
 
 # ---------------------------------------------------------------------------

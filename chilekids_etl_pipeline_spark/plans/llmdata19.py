@@ -65,7 +65,10 @@ def _yield_docs_cte(dialect: str) -> str:
 
 
 def _yield_sql(
-    dialect: str, sh_src: str | None = None, jac_src: str | None = None
+    dialect: str,
+    sh_src: str | None = None,
+    jac_src: str | None = None,
+    toks_src: str | None = None,
 ) -> str:
     """``jac_src`` lets the Spark side materialize the scored-pairs table
     once: the template references ``jac`` from BOTH the dropped and
@@ -115,12 +118,28 @@ inter AS (
     GROUP BY a.doc_id, b.doc_id
 ),
 """ if not jac_src else ""
-    return f"""
-WITH docs AS ({_yield_docs_cte(dialect)}),
-toks AS (SELECT doc_id,
+    # toks_src (r12): the per-doc word-count table is referenced by
+    # drop_stats AND corpus_words (and, when set, replaces the corpus
+    # doc count — count(*) over toks is count(*) over docs by
+    # construction: exactly one toks row per doc). Materializing it
+    # keeps the plan from re-running the docs-union tokenize per
+    # reference (r12 plan audit: 20 documents scans inlined).
+    toks_body = (
+        f"SELECT doc_id, n_words FROM {toks_src}"
+        if toks_src
+        else f"""SELECT doc_id,
                 cast({"size" if dialect == "spark" else "len"}({w}) AS bigint)
                     AS n_words
-         FROM docs),
+         FROM docs"""
+    )
+    if toks_src:
+        pair_chain = pair_chain.replace(
+            "corpus AS (SELECT count(*) AS n FROM docs)",
+            "corpus AS (SELECT count(*) AS n FROM toks)",
+        )
+    return f"""
+WITH docs AS ({_yield_docs_cte(dialect)}),
+toks AS ({toks_body}),
 {pair_chain}jac AS (
     {jac_body}
 ),
@@ -195,6 +214,16 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 23.5 + 8.8 executor-seconds); checkpointed blocks are referenced
     # structurally, so the explode runs once.
     sh.localCheckpoint(eager=True).createOrReplaceTempView("yield_sh_mat")
+    # toks materialized too (r12): drop_stats, corpus_words, and the
+    # df-cap's corpus count each re-ran the docs-union tokenize when
+    # inlined (20 documents scans in the audited plan); the checkpointed
+    # table is two integers per doc.
+    w = words_sql("spark")
+    toks = spark.sql(
+        f"WITH docs AS ({_yield_docs_cte('spark')}) "
+        f"SELECT doc_id, cast(size({w}) AS bigint) AS n_words FROM docs"
+    )
+    toks.localCheckpoint(eager=True).createOrReplaceTempView("yield_toks_mat")
     # NOT persisted: the scored-pair table. Although two CTEs (dropped,
     # pair_counts) consume `jac`, Spark's ReusedExchange already shares
     # the expensive shingle self-join between them — an explicit
@@ -202,4 +231,6 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slowed sf0.1 2.1 -> 3.1 s): caching millions of pair rows costs
     # more than the reuse it buys. The jac_src seam in _yield_sql stays
     # for layouts where the reuse doesn't fire.
-    return spark.sql(_yield_sql("spark", sh_src="yield_sh_mat"))
+    return spark.sql(
+        _yield_sql("spark", sh_src="yield_sh_mat", toks_src="yield_toks_mat")
+    )

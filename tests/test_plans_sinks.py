@@ -640,3 +640,21 @@ def test_mem_mb_uses_spark_size_grammar():
         warnings.simplefilter("always")
         assert _mem_mb("not-a-size") == 8192
     assert caught and "broadcast-threshold" in str(caught[0].message)
+
+
+def test_theta_sketch_materializes_single_fact_pass(spark):
+    """r12: the theta pair algebra must read the checkpointed sketch,
+    never re-derive it — the inlined form re-planned the events scan per
+    sketch reference (22 scans / 51 Exchanges, PLAN_AUDIT_r12.json)."""
+    plan = _plan(QS["theta_sketch_set_ops"](spark, SF_SMALL))
+    assert "Scan ExistingRDD" in plan  # checkpointed sketch blocks
+    assert "Scan parquet" not in plan  # fact table touched only pre-seam
+
+
+def test_yield_curve_materializes_shingles_and_toks(spark):
+    """r12: dedup_yield_curve's repeated CTE references (jac x2,
+    toks x2, corpus count) must read materialized blocks, not re-run
+    the docs-union tokenize (52 documents scans inlined pre-seam)."""
+    plan = _plan(QS["dedup_yield_curve"](spark, SF_SMALL))
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
