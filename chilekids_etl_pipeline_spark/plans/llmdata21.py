@@ -42,7 +42,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.tables import load_table, maybe_rebalance, rebalance_if_big
+from ..sources.tables import (
+    load_table,
+    maybe_rebalance,
+    plan_size_bytes,
+    rebalance_if_big,
+)
 from .llmdata20 import (
     _ME_DF_ABS,
     _ME_DF_MULT,
@@ -65,7 +70,20 @@ _PQ_K = 16       # codewords per subspace (deterministic stand-in)
 _PQ_NPROBE = 2   # coarse cells probed per query
 
 
-def _pq_sql(dialect: str) -> str:
+def _pq_sql(
+    dialect: str,
+    emit: str = "full",
+    assign_src: str | None = None,
+    codes_src: str | None = None,
+) -> str:
+    """``emit='assign'``/``'codes'`` return just the coarse-assignment /
+    PQ-encoding pipelines so the Spark entry can materialize each ONCE:
+    in the fully-inlined plan the n x k-centroid window (assign: feeds
+    cells AND probes) and the n x 128-codeword window (codes: feeds adc
+    AND pqn) each ran twice, and embeddings was scanned 14 times
+    (PLAN_AUDIT_r12.json). ``assign_src``/``codes_src`` splice the
+    materialized views into the full template; the default emission is
+    byte-identical to the pre-seam SQL, which is what the oracle uses."""
     spark = dialect == "spark"
     cast_v = (
         "transform(embedding, x -> cast(x AS double))"
@@ -111,33 +129,22 @@ def _pq_sql(dialect: str) -> str:
     )
     micro = "CAST(floor({x} * 1000000 + 0.5) AS BIGINT)"
 
-    return f"""
-WITH base AS (SELECT vec_id, {cast_v} AS v FROM embeddings),
-kc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS INT)) AS k FROM base),
-norms AS (SELECT vec_id, v, sqrt({dot('v', 'v')}) AS nrm FROM base),
-cent AS (
-    SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM norms
-    WHERE vec_id < (SELECT k FROM kc)
-),
-assign AS (
+    assign_cte = f"""assign AS (
     SELECT vec_id, centroid_id,
            row_number() OVER (
                PARTITION BY vec_id
                ORDER BY round({dot('v', 'cv')} / (nrm * cnrm), 6) DESC,
                         centroid_id) AS crank
     FROM norms CROSS JOIN cent
-),
-cells AS (SELECT vec_id, centroid_id FROM assign WHERE crank = 1),
-probes AS (SELECT vec_id, centroid_id FROM assign
-           WHERE crank <= {_PQ_NPROBE} AND vec_id % 50 = 0),
-cb AS (
+)"""
+    cb_cte = f"""cb AS (
     SELECT sx.s, b.vec_id AS c, {sub('b.v', 'sx.s')} AS cw,
            {micro.format(x=dot(sub('b.v', 'sx.s'), sub('b.v', 'sx.s')))}
                AS cwn2_micro
     FROM base b {s_rows}
     WHERE b.vec_id < {_PQ_K}
-),
-codes AS (
+)"""
+    codes_cte = f"""codes AS (
     SELECT vec_id, s, c, cwn2_micro FROM (
         SELECT b.vec_id, cb.s, cb.c, cb.cwn2_micro,
                row_number() OVER (
@@ -146,7 +153,47 @@ codes AS (
                             cb.c) AS rk
         FROM base b CROSS JOIN cb
     ) t WHERE rk = 1
-),
+)"""
+    base_cte = f"base AS (SELECT vec_id, {cast_v} AS v FROM embeddings)"
+    norms_ctes = f"""kc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS INT)) AS k FROM base),
+norms AS (SELECT vec_id, v, sqrt({dot('v', 'v')}) AS nrm FROM base),
+cent AS (
+    SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM norms
+    WHERE vec_id < (SELECT k FROM kc)
+)"""
+    if emit == "assign":
+        return f"""
+WITH {base_cte},
+{norms_ctes},
+{assign_cte}
+SELECT vec_id, centroid_id, crank FROM assign WHERE crank <= {_PQ_NPROBE}
+"""
+    if emit == "codes":
+        return f"""
+WITH {base_cte},
+{cb_cte},
+{codes_cte}
+SELECT vec_id, s, c, cwn2_micro FROM codes
+"""
+    assign_block = (
+        f"assign AS (SELECT vec_id, centroid_id, crank FROM {assign_src})"
+        if assign_src
+        else assign_cte
+    )
+    codes_block = (
+        f"codes AS (SELECT vec_id, s, c, cwn2_micro FROM {codes_src})"
+        if codes_src
+        else codes_cte
+    )
+    return f"""
+WITH {base_cte},
+{norms_ctes},
+{assign_block},
+cells AS (SELECT vec_id, centroid_id FROM assign WHERE crank = 1),
+probes AS (SELECT vec_id, centroid_id FROM assign
+           WHERE crank <= {_PQ_NPROBE} AND vec_id % 50 = 0),
+{cb_cte},
+{codes_block},
 pqn AS (SELECT vec_id, sum(cwn2_micro) AS pqn2_micro FROM codes GROUP BY vec_id),
 qd AS (
     SELECT q.vec_id AS query_id, cb.s, cb.c,
@@ -224,9 +271,35 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median, worse in 6/6 alternating rounds — the exchange ships every
     # vector and costs more than the freed parallelism at gate-scale
     # (AB_r12_ivfpq_revert.json). Above the gate the rebalance fires anyway.
-    rebalance_if_big(
-        load_table(spark, sf_dir, "embeddings"), min_bytes=2 << 20
-    ).createOrReplaceTempView("embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rebalance_if_big(emb, min_bytes=2 << 20).createOrReplaceTempView(
+        "embeddings"
+    )
+    # Size-gated materialization of the two windowed pipelines the
+    # template references twice each (r12, guide §2.4): `assign` (n x
+    # k-centroid cosine window — consumed by cells AND probes) and
+    # `codes` (n x 128 codeword L2 window — consumed by adc AND pqn)
+    # otherwise re-plan and re-run per reference; with the base scans
+    # below them, embeddings was scanned 14 times in one plan. The gate
+    # is the SAME 2 MB plan-size break-even as the rebalance above, and
+    # for the same reason, measured both ways: at sf0.1 the eager
+    # checkpoints serialize two jobs ahead of a query whose duplicated
+    # subtrees otherwise race across idle cores (+1.02 s median, 5/5
+    # rounds, AB_r12_ivfpq_seam_sf01.json), while at sf1 the deduped
+    # windows dominate (−0.47 s median, AB_r12_ivfpq_seam_sf1.json) and
+    # the gap grows with n (the n x k window is the asymptotic cost).
+    if (plan_size_bytes(emb) or 0) >= 2 << 20:
+        spark.sql(_pq_sql("spark", emit="assign")).localCheckpoint(
+            eager=True
+        ).createOrReplaceTempView("pq_assign_mat")
+        spark.sql(_pq_sql("spark", emit="codes")).localCheckpoint(
+            eager=True
+        ).createOrReplaceTempView("pq_codes_mat")
+        return spark.sql(
+            _pq_sql(
+                "spark", assign_src="pq_assign_mat", codes_src="pq_codes_mat"
+            )
+        )
     return spark.sql(_pq_sql("spark"))
 
 

@@ -97,15 +97,24 @@ def rebalance_if_big(df: DataFrame, min_bytes: int) -> DataFrame:
     cluster ``maybe_rebalance`` is a no-op anyway; this gate only tunes
     the degenerate local layouts.
     """
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        size = None
+    size = plan_size_bytes(df)
     if size is not None and size < min_bytes:
         return df
     return maybe_rebalance(df)
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Plan-time size estimate of a relation (parquet file bytes for a
+    bare scan) — no job, no execution. The break-even input for the
+    size-gated physical choices (``rebalance_if_big``, ann_ivfpq's
+    materialization seams): deterministic for a given input layout, so
+    the same data always takes the same plan."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
