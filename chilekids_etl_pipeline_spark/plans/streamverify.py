@@ -58,7 +58,7 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionizer (streaming/sessionize.py), returning the per-session
     snapshot. The stream is a real file-source readStream with an
     availableNow trigger into a memory sink; the returned DataFrame
-    aggregates the emitted per-event session assignments. Session
+    merges the emitted per-session partial aggregates. Session
     numbering (1-based per user), the 30-min gap rule, and per-session
     event counts/extents must — and do — match the batch lag-window
     oracle, because a session is a pure function of each user's ordered
@@ -83,7 +83,13 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanosAsLong conf (see sources/tables.py) — truncate to micros
     if dict(raw.dtypes)["ts"] == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    sessions = sessionize_stream(raw, watermark="1 hour")
+    # emit="sessions": the state handler returns one additive partial row
+    # per (user, session) per micro-batch instead of one row per event
+    # (guide §2.3 — aggregate before crossing the Python→JVM boundary and
+    # the sink; the per-event form shipped n_events rows through both).
+    # The sum/min/max merge below reconstructs the exact snapshot even
+    # when a session spans micro-batches.
+    sessions = sessionize_stream(raw, watermark="1 hour", emit="sessions")
 
     name = "streaming_sessionize_replay_sink"
     try:
@@ -103,9 +109,9 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy(
         "user_id", F.col("session_seq").cast("int").alias("session_seq")
     ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
     )
 
 
