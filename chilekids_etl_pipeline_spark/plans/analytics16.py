@@ -161,7 +161,17 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small sides), so the big fact scans never shuffle on the fact
     side; at 100 TB each edge is one broadcast-hash pass over its child
     table. Companions: dq_expectations (column-level contracts),
-    schema_drift_keys (structural drift)."""
+    schema_drift_keys (structural drift).
+
+    r12 note — fusing the three lineitem edges into ONE scan (three
+    broadcast probes + three count-distincts unpivoted via stack()) was
+    built, oracle-verified, and A/B-REVERTED: 2.44 → 3.61 s median,
+    worse 3/3 alternating rounds (AB_r12_ri_audit.json). The
+    multi-distinct Expand (4x the row set into one exchange) and the
+    triple probe per row cost more than the two extra scans, which run
+    as independent racing stages; shuffle bytes at scale are comparable
+    either way because two-phase distinct partial-aggregates map-side
+    in both forms."""
     for t in ("lineitem", "orders", "customer", "supplier",
               "nation", "region", "part", "events"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)

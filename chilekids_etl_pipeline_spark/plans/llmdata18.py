@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import words_sql
-from ..operators.similarity import topk_cosine
+
 from ..sources.tables import load_table, maybe_rebalance
 from .registry import register
 
@@ -213,15 +213,24 @@ def quantization_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor overlap. This is the standard index-evaluation loop (recall
     of the compressed index against exact search) run corpus-side.
 
-    Both searches execute on the shared BLAS matmul kernel
-    (operators/similarity.py topk_cosine: broadcast probe matrix,
-    per-partition matmul + partial top-k, metadata-scale merge); the
-    dequantized corpus is one codegen array projection, never
-    materialized wide. The probe set is the bounded side — corpus-scale
-    quantization QA goes through ann_ivf_cosine's cells like
-    semantic_dedup. Companions: embedding_quantize_int8 (storage/error),
-    matryoshka_dim_fidelity (truncation impact), knn_topk_cosine
-    (exact baseline)."""
+    Both searches run FUSED on one corpus pass (guide §1.2: the old
+    two-call form paid two embeddings scans, two probe collects and two
+    racing mapInPandas stages for what is one matmul kernel plus a numpy
+    transform): each Arrow batch scores the full matrix AND its
+    int8-dequantized twin — `floor(x/s·127+0.5)·s/127` is elementwise
+    IEEE double arithmetic, bit-identical whether Catalyst or numpy
+    evaluates it — and emits side-tagged per-partition top-k partials;
+    one metadata-scale window ranks both sides. The probe set is the
+    bounded side (same 100k broadcast refusal as topk_cosine) —
+    corpus-scale quantization QA goes through ann_ivf_cosine's cells
+    like semantic_dedup. Companions: embedding_quantize_int8
+    (storage/error), matryoshka_dim_fidelity (truncation impact),
+    knn_topk_cosine (exact baseline)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import MAX_BRUTE_FORCE_QUERIES
+
     # gated widening (2-split embeddings scan starves the vector
     # lambdas + BLAS kernel; sf1 A/B: 3.4 -> 2.0 s)
     emb = maybe_rebalance(load_table(spark, sf_dir, "embeddings")).select(
@@ -231,32 +240,105 @@ def quantization_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_max(transform(embedding, x -> abs(cast(x AS double))))"
         ).alias("sc"),
     ).filter(F.col("sc") > 0)
-    full = emb.select("vec_id", "vec")
-    quant = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(vec, x -> cast(floor(x / sc * 127 + 0.5) AS int)"
-            " * sc / 127)"
-        ).alias("vec"),
+
+    qpd = (
+        emb.filter(F.col("vec_id") % _QR_EVERY == 0)
+        .limit(MAX_BRUTE_FORCE_QUERIES + 1)
+        .toPandas()
     )
-    fprobes = full.filter(F.col("vec_id") % _QR_EVERY == 0)
-    qprobes = quant.filter(F.col("vec_id") % _QR_EVERY == 0)
-    ftop = topk_cosine(fprobes, full, k=_QR_K).select(
-        "query_id", "neighbor_id"
+    if len(qpd) > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"quantization_recall_probe broadcasts its probe matrix and must "
+            f"stay <= {MAX_BRUTE_FORCE_QUERIES} probes (got more). Use the "
+            f"ann_ivf_cosine cells for corpus-scale quantization QA."
+        )
+    qid_t = emb.schema["vec_id"].dataType.simpleString()
+    if len(qpd) == 0:
+        return spark.createDataFrame(
+            [],
+            schema=f"query_id {qid_t}, n_common bigint, overlap_micro bigint",
+        )
+
+    def _dequant(mat: np.ndarray, sc: np.ndarray) -> np.ndarray:
+        # same expression (and evaluation order) as the oracle / the
+        # embedding_quantize_int8 scheme: floor(x / s * 127 + 0.5) * s / 127
+        s = sc[:, None]
+        return np.floor(mat / s * 127 + 0.5) * s / 127
+
+    qids = qpd["vec_id"].to_numpy()
+    qmat = np.array(qpd["vec"].tolist(), dtype=np.float64)
+    qsc = qpd["sc"].to_numpy(dtype=np.float64)
+    qqmat = _dequant(qmat, qsc)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qqnorm = np.sqrt((qqmat * qqmat).sum(axis=1))
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm, qqmat, qqnorm))
+
+    def _round6(x):
+        # HALF-AWAY-FROM-ZERO, like topk_cosine / F.round / DuckDB
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def _score_both(batches):
+        b_qids, b_qmat, b_qnorm, b_qqmat, b_qqnorm = bq.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            csc = pdf["sc"].to_numpy(dtype=np.float64)
+            cqmat = _dequant(cmat, csc)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            cqnorm = np.sqrt((cqmat * cqmat).sum(axis=1))
+            out_side, out_q, out_n, out_s = [], [], [], []
+            for side, (mat, nrm, qm, qn) in enumerate(
+                ((cmat, cnorm, b_qmat, b_qnorm),
+                 (cqmat, cqnorm, b_qqmat, b_qqnorm))
+            ):
+                scores = _round6((mat @ qm.T) / np.outer(nrm, qn))
+                for j in range(nq):
+                    keep = np.nonzero(cids != b_qids[j])[0]
+                    if keep.size == 0:
+                        continue
+                    order = np.lexsort((cids[keep], -scores[keep, j]))[:_QR_K]
+                    sel = keep[order]
+                    out_side.append(np.full(sel.size, side, dtype=np.int32))
+                    out_q.append(np.full(sel.size, b_qids[j]))
+                    out_n.append(cids[sel])
+                    out_s.append(scores[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "side": np.concatenate(out_side),
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    partials = emb.mapInPandas(
+        _score_both,
+        f"side int, query_id {qid_t}, neighbor_id {qid_t}, cosine double",
     )
-    qtop = topk_cosine(qprobes, quant, k=_QR_K).select(
-        F.col("query_id").alias("q_query_id"),
-        F.col("neighbor_id").alias("q_neighbor_id"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("side", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
     )
-    joined = ftop.join(
-        qtop,
-        (F.col("query_id") == F.col("q_query_id"))
-        & (F.col("neighbor_id") == F.col("q_neighbor_id")),
-        "left",
+    top = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _QR_K)
+    )
+    # overlap without a second pass: per (query, neighbor), note which
+    # sides ranked it, then count full-side neighbors the quant side
+    # also kept — exactly the old left-join count
+    pairs = top.groupBy("query_id", "neighbor_id").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_full"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_quant"),
     )
     return (
-        joined.groupBy("query_id")
-        .agg(F.count("q_neighbor_id").alias("n_common"))
+        pairs.filter(F.col("in_full") == 1)
+        .groupBy("query_id")
+        .agg(F.sum("in_quant").cast("bigint").alias("n_common"))
         .select(
             "query_id",
             "n_common",

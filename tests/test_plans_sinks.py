@@ -658,3 +658,18 @@ def test_yield_curve_materializes_shingles_and_toks(spark):
     plan = _plan(QS["dedup_yield_curve"](spark, SF_SMALL))
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_quantization_recall_single_corpus_pass(spark):
+    """r12: the recall probe scores full and int8-dequantized neighbors
+    FUSED in one mapInPandas over one embeddings scan (the two-call form
+    paid two corpus scans + two racing Python stages); both sides must
+    ride a single scan and a single Python eval node."""
+    import re
+
+    plan = _plan(QS["quantization_recall_probe"](spark, SF_SMALL))
+    # operator-details headers: "(n) OperatorName" — one line per node
+    ops = re.findall(r"^\((\d+)\) ([A-Za-z]+)", plan, re.M)
+    names = [n for _, n in ops]
+    assert names.count("MapInPandas") == 1
+    assert names.count("Scan") == 1  # one embeddings scan feeds both sides
