@@ -347,7 +347,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B-measured WORSE (+0.47 s median, AB_r12_batch2): the racing
     # recomputes overlap across all cores, while the checkpoint
     # serializes materialization before any consumer starts (the same
-    # verdict as dedup_simhash_pairs' sig persist).
+    # verdict as dedup_simhash_pairs' sig persist). Re-measured at sf1
+    # to settle the ivfpq-style size-gate question: STILL worse there
+    # (13.5 vs 17.8 s median, AB_r12_mhlsh_sf1.json) — the duplicated
+    # shingle pipelines stay cheaper than a serial materialization of
+    # the wide shingle table at every measured scale, so no gate.
     shf = drop_hot_shingles(sh, df_cap_abs=_MINHASH_DF_ABS).persist()
     bands = minhash_bands(shf, num_hashes=12, band_size=3)
     cand = lsh_candidate_pairs(bands)

@@ -67,20 +67,24 @@ def _cdc_sql(dialect: str) -> str:
     idiv = _idiv(dialect)
     w = words_sql(dialect)
     if dialect == "spark":
-        toks = """
-toks AS (
-    SELECT doc_id, pe.i, pe.tok
-    FROM docs_w LATERAL VIEW posexplode(w) pe AS i, tok
-)"""
+        # is_cut computed INLINE in the token explode (r12, guide §2.4):
+        # the separate wins-explode + cuts + (doc_id, i)-keyed flag join
+        # re-walked every token a second time only to mark ~1/8 of the
+        # positions; the fingerprint of the window starting at token i is
+        # an expression over (w, i) already in scope here, and the guard
+        # `1 <= i <= size(w) - 4` reproduces wins' explode range exactly
+        # (a shorter-than-4-word tail window must NOT hash)
         win = (
             "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), "
             "element_at(w, i + 3), element_at(w, i + 4))"
         )
-        wins = f"""
-wins AS (
-    SELECT doc_id, i, {win} AS window4
-    FROM docs_w LATERAL VIEW explode(sequence(0, size(w) - {_CDC_W})) t AS i
-    WHERE size(w) >= {_CDC_W}
+        toks = f"""
+toks AS (
+    SELECT doc_id, pe.i, pe.tok,
+           CASE WHEN pe.i >= 1 AND pe.i <= size(w) - {_CDC_W}
+                     AND ({_h32("spark", win)}) % {_CDC_MASK} = 0
+                THEN 1 ELSE 0 END AS is_cut
+    FROM docs_w LATERAL VIEW posexplode(w) pe AS i, tok
 )"""
         agg_chunk = "concat_ws(' ', collect_list(tok))"
     else:
@@ -108,10 +112,12 @@ wins AS (
         )
     else:
         chunk_text = agg_chunk
-    return f"""
-WITH docs AS ({_cdc_docs_cte(dialect)}),
-docs_w AS (SELECT doc_id, {w} AS w FROM docs),
-{toks.strip()},
+    if dialect == "spark":
+        pre = f"{toks.strip()},"
+        assigned_src = "toks"
+    else:
+        assigned_src = "flagged"
+        pre = f"""{toks.strip()},
 {wins.strip()},
 -- a position STARTS a new chunk if the 4-word fingerprint ending there
 -- hits the boundary pattern (i >= 1; position 0 always starts chunk 0)
@@ -126,13 +132,17 @@ flagged AS (
            CASE WHEN c.i IS NULL THEN 0 ELSE 1 END AS is_cut
     FROM toks t LEFT JOIN cuts c
         ON c.doc_id = t.doc_id AND c.i = t.i
-),
+),"""
+    return f"""
+WITH docs AS ({_cdc_docs_cte(dialect)}),
+docs_w AS (SELECT doc_id, {w} AS w FROM docs),
+{pre}
 assigned AS (
     SELECT doc_id, i, tok,
            sum(is_cut) OVER (PARTITION BY doc_id ORDER BY i
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS chunk_no
-    FROM flagged
+    FROM {assigned_src}
 ),
 chunks AS (
     SELECT doc_id, chunk_no, {chunk_text} AS chunk_text,

@@ -132,15 +132,27 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides) — materialized once on the Spark side so SQL inlining does
     not re-explode the corpus (the CTE-inlining lesson from
     minhash_containment, 9.8→2 s)."""
-    docs = maybe_rebalance(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    docs = maybe_rebalance(raw)
     docs.createOrReplaceTempView("documents")
     grams = spark.sql(
         f"WITH docs AS ({_sub_docs_cte('spark')}) {_sub_pos_grams('spark')}"
     )
-    # lazy persist: eager localCheckpoint A/B-measured +0.17 s median
-    # (AB_r12_batch2) — overlapping racing recomputes beat the
-    # serialized materialization barrier here.
-    grams.persist().createOrReplaceTempView("sub_grams_mat")
+    # size-gated materialization (the ann_ivfpq_adc seam pattern): at
+    # sf0.1 an eager localCheckpoint measured +0.17 s median
+    # (AB_r12_batch2) — racing recomputes overlap across idle cores —
+    # but at sf1 the verdict FLIPS: −0.76 s median, checkpoint better
+    # 3/3 alternating rounds (AB_r12_ckpt_sf1.json), because the
+    # triplicated positional-gram explode dominates once cores are
+    # saturated. Same 2 MB plan-size gate as the scan rebalance, so the
+    # same corpus always takes the same plan.
+    from ..sources.tables import plan_size_bytes
+
+    if (plan_size_bytes(raw) or 0) >= 2 << 20:
+        grams = grams.localCheckpoint(eager=True)
+    else:
+        grams = grams.persist()
+    grams.createOrReplaceTempView("sub_grams_mat")
     return spark.sql(_substring_sql("spark", grams_src="sub_grams_mat"))
 
 
