@@ -377,17 +377,24 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = shingles_sql("spark", words_sql("spark"), _ME_N)
     h1 = "cast(conv(substr(md5(sh.g), 1, 15), 16, 10) AS bigint)"
     h2 = "cast(conv(substr(md5(sh.g), 16, 13), 16, 10) AS bigint)"
+    # the raw shingle explode feeds TWO subtrees of the hd build (the df
+    # aggregation and the kept-rows join side); the r12 stage profile
+    # showed both racing the full explode (18.0 + 25.6 executor-seconds
+    # pre-checkpoint), so it is materialized once too
+    sh = spark.sql(
+        f"WITH docs AS (SELECT doc_id, text FROM documents) "
+        f"SELECT doc_id, explode({grams}) AS g FROM docs"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("mhe_sh_mat")
     hd = spark.sql(f"""
-WITH docs AS (SELECT doc_id, text FROM documents),
-sh AS (SELECT doc_id, explode({grams}) AS g FROM docs),
-df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
-corpus AS (SELECT count(*) AS n FROM docs),
+WITH df AS (SELECT g, count(*) AS n_docs FROM mhe_sh_mat GROUP BY g),
+corpus AS (SELECT count(*) AS n FROM documents),
 keep AS (
     SELECT g FROM df CROSS JOIN corpus
     WHERE n_docs * {_ME_DF_MULT} <= n AND n_docs <= {_ME_DF_ABS}
 )
 SELECT sh.doc_id, {h1} AS h1, {h2} AS h2
-FROM sh JOIN keep ON sh.g = keep.g
+FROM mhe_sh_mat sh JOIN keep ON sh.g = keep.g
 """)
     # localCheckpoint, not persist: the consumer query's four subtrees
     # (sigw, sizes, both pair-join sides) become runnable stages
