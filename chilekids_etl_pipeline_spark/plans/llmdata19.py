@@ -208,11 +208,12 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH docs AS ({_yield_docs_cte('spark')}) "
         f"SELECT doc_id, explode({grams_expr}) AS g FROM docs"
     )
-    # eager localCheckpoint, not persist: sh's consumers (df cap, sizes,
-    # both pair-join sides) run as concurrent stages and raced the
-    # not-yet-built cache into duplicate re-shingles (r12 stage profile:
-    # 23.5 + 8.8 executor-seconds); checkpointed blocks are referenced
-    # structurally, so the explode runs once.
+    # eager localCheckpoint, not persist: sh's consumers run as
+    # concurrent stages and raced the not-yet-built cache into duplicate
+    # re-shingles (r12 stage profile: 23.5 + 8.8 executor-seconds);
+    # checkpointed blocks are referenced structurally, so the explode
+    # runs once. (r12 A/B: wash at sf0.1, kept for the structural
+    # guarantee.)
     sh.localCheckpoint(eager=True).createOrReplaceTempView("yield_sh_mat")
     # toks materialized too (r12): drop_stats, corpus_words, and the
     # df-cap's corpus count each re-ran the docs-union tokenize when
@@ -224,13 +225,108 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, cast(size({w}) AS bigint) AS n_words FROM docs"
     )
     toks.localCheckpoint(eager=True).createOrReplaceTempView("yield_toks_mat")
-    # NOT persisted: the scored-pair table. Although two CTEs (dropped,
-    # pair_counts) consume `jac`, Spark's ReusedExchange already shares
-    # the expensive shingle self-join between them — an explicit
-    # persist-jac A/B at sf1 measured 28.7 s vs 27.7 s inlined (and
-    # slowed sf0.1 2.1 -> 3.1 s): caching millions of pair rows costs
-    # more than the reuse it buys. The jac_src seam in _yield_sql stays
-    # for layouts where the reuse doesn't fire.
+    # r13 (VERDICT r12 #5), SIZE-GATED like ann_ivfpq's seams: above the
+    # 2 MB documents plan-size estimate the pair join — by far the
+    # dominant stage post-seam (19.9 executor-seconds) — runs on the two
+    # md5-derived bigints per shingle instead of the shingle STRING,
+    # and the df-cap becomes a broadcast ANTI-join against the tiny
+    # `hot` set instead of a SortMergeJoin against the vocabulary-sized
+    # `keep` set (the r12 plan shuffled the full shingle table BY
+    # STRING twice for it, once per jac consumer). Sort/join buffers
+    # hold 24-byte fixed-width rows — the same narrow-payload form
+    # minhash_estimate_error adopted in r10 (§2.3 shuffle fewer bytes).
+    # Exactness: i_hash >= i_true and the per-doc sizes count ROWS
+    # (string-distinct by construction), and the 0.5 cut is evaluated as
+    # the division-free 3·i >= sz_a+sz_b (monotone in i under ANY
+    # collision pattern), so the hash-scored pairs are a SUPERSET of
+    # the true >= 0.5 pairs (the grid's minimum); every survivor is
+    # re-verified with exact string Jaccard on shingle sets re-read
+    # from the checkpointed string table for JUST those docs. Output
+    # provably identical; no hash-collision exposure reaches the
+    # result. A/B: sf1 29.15 → 25.19 s median (2 rounds,
+    # AB_r13_batch1_sf1.json); at sf0.1 the three extra checkpoint
+    # jobs cost +1.55 s against a 2.4 s wall (AB_r13_batch1.json) —
+    # the same small-scale serialization loss as every Finding-1
+    # site, hence the gate (sf0.1 documents = 0.58 MB → inline path;
+    # sf1 = 5.8 MB → hash path).
+    from ..sources.tables import plan_size_bytes
+
+    docs_bytes = plan_size_bytes(
+        load_table(spark, sf_dir, "documents")
+    )
+    if docs_bytes is not None and docs_bytes < (2 << 20):
+        return spark.sql(
+            _yield_sql(
+                "spark", sh_src="yield_sh_mat", toks_src="yield_toks_mat"
+            )
+        )
+    hot = spark.sql(f"""
+        WITH df AS (SELECT g, count(*) AS n_docs
+                    FROM yield_sh_mat GROUP BY g),
+        corpus AS (SELECT count(*) AS n FROM yield_toks_mat)
+        SELECT g FROM df CROSS JOIN corpus
+        WHERE n_docs * {_YC_DF_MULT} > n OR n_docs > {_YC_DF_ABS}
+    """).localCheckpoint(eager=True)
+    hot.createOrReplaceTempView("yield_hot_mat")
+    hx = spark.sql("""
+        SELECT /*+ BROADCAST(h) */ sh.doc_id,
+               cast(conv(substr(md5(sh.g), 1, 15), 16, 10) AS bigint) AS h1,
+               cast(conv(substr(md5(sh.g), 16, 13), 16, 10) AS bigint) AS h2
+        FROM yield_sh_mat sh
+        LEFT ANTI JOIN yield_hot_mat h ON sh.g = h.g
+    """).localCheckpoint(eager=True)
+    hx.createOrReplaceTempView("yield_hx_mat")
+    cand = spark.sql("""
+        WITH sizes AS (SELECT doc_id, count(*) AS sz
+                       FROM yield_hx_mat GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM yield_hx_mat a
+            JOIN yield_hx_mat b ON a.h1 = b.h1 AND a.h2 = b.h2
+                               AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 3 * i.i >= sa.sz + sb.sz
+    """).localCheckpoint(eager=True)
+    cand.createOrReplaceTempView("yield_cand_mat")
+    # exact string re-verify, pruned to the candidate docs: shingle
+    # strings come back from the checkpointed explode (no re-scan), the
+    # same stop-gram filter applies, and the Jaccard quotient is the
+    # oracle's exact string form
+    jac = spark.sql("""
+        WITH ids AS (
+            SELECT doc_a AS doc_id FROM yield_cand_mat
+            UNION
+            SELECT doc_b FROM yield_cand_mat
+        ),
+        docsets AS (
+            SELECT /*+ BROADCAST(ids), BROADCAST(h) */
+                   sh.doc_id, collect_list(sh.g) AS gs, count(*) AS sz
+            FROM yield_sh_mat sh
+            LEFT SEMI JOIN ids ON sh.doc_id = ids.doc_id
+            LEFT ANTI JOIN yield_hot_mat h ON sh.g = h.g
+            GROUP BY sh.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               size(array_intersect(a.gs, b.gs))
+                 / cast(a.sz + b.sz - size(array_intersect(a.gs, b.gs))
+                        AS double) AS j
+        FROM yield_cand_mat c
+        JOIN docsets a ON a.doc_id = c.doc_a
+        JOIN docsets b ON b.doc_id = c.doc_b
+        WHERE size(array_intersect(a.gs, b.gs))
+                / cast(a.sz + b.sz - size(array_intersect(a.gs, b.gs))
+                       AS double) >= 0.5
+    """).localCheckpoint(eager=True)
+    jac.createOrReplaceTempView("yield_jac_mat")
     return spark.sql(
-        _yield_sql("spark", sh_src="yield_sh_mat", toks_src="yield_toks_mat")
+        _yield_sql(
+            "spark",
+            jac_src="yield_jac_mat",
+            toks_src="yield_toks_mat",
+        )
     )

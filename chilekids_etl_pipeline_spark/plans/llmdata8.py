@@ -250,7 +250,9 @@ def _simhist_docs_cte(dialect: str) -> str:
 """
 
 
-def _simhist_sql(dialect: str, sh_src: str | None = None) -> str:
+def _simhist_sql(
+    dialect: str, sh_src: str | None = None, shf_src: str | None = None
+) -> str:
     from ..functions.text import shingles_sql
 
     grams = shingles_sql(dialect, words_sql(dialect), _SIMH_N)
@@ -260,7 +262,17 @@ def _simhist_sql(dialect: str, sh_src: str | None = None) -> str:
         if sh_src
         else f"SELECT doc_id, {ex}({grams}) AS g FROM docs"
     )
-    return f"""
+    # shf_src (r13): the Spark side pre-materializes the df-capped
+    # shingle table RE-KEYED to a dense integer gid (see
+    # similarity_histogram) — the sizes/inter/jac tail is key-type
+    # agnostic, so it runs unchanged on 8-byte ints instead of ~40-byte
+    # 5-gram strings. The chain below stays for the oracle (and any
+    # caller without the seam).
+    head = (
+        f"""
+WITH shf AS (SELECT doc_id, g FROM {shf_src}),"""
+        if shf_src
+        else f"""
 WITH docs AS ({_simhist_docs_cte(dialect)}),
 sh AS ({sh_body}),
 df AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
@@ -269,7 +281,9 @@ keep AS (
     SELECT g FROM df CROSS JOIN corpus
     WHERE n_docs * {_SIMH_DF_PCT} <= n AND n_docs <= {_SIMH_DF_ABS}
 ),
-shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
+shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),"""
+    )
+    return f"""{head}
 sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -324,6 +338,19 @@ def similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structurally, so the explode runs once. lsh_band_tuning inherits
     # the same fix through this function.
     sh.localCheckpoint(eager=True).createOrReplaceTempView("simhist_sh_mat")
+    # r13 adjudication (VERDICT r12 #6, the narrow-key idea): a dense
+    # integer re-keying of the kept vocabulary (gid = bucket +
+    # 1024·row_number within xxhash64-bucket — a deterministic
+    # BIJECTION, so results stay exact, unlike the collision-exposed
+    # raw-hash key r12 rejected) was built via the shf_src seam below,
+    # oracle-verified at 3 SFs, and A/B-REVERTED: wash at sf0.1
+    # (+0.03 s, AB_r13_batch1.json) and +0.94 s at sf1
+    # (AB_r13_batch1_sf1.json; lsh_band_tuning, which inherits this
+    # function, +0.44/+0.95 s). The string→gid map join + vocab window
+    # costs what the integer self-join saves: the self-join's two
+    # string exchanges are already ReusedExchange-shared across the
+    # jac consumers, so the narrow keys remove fewer bytes than the
+    # extra materialization job adds.
     return spark.sql(_simhist_sql("spark", sh_src="simhist_sh_mat"))
 
 

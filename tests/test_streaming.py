@@ -603,3 +603,98 @@ def test_streaming_corpus_dedup_matches_batch_anti_join(spark, tmp_path):
     assert sorted(streamed.doc_id) == sorted(batch.doc_id)
     assert set(copies.doc_id).isdisjoint(set(streamed.doc_id))
     assert set(novel.doc_id) <= set(streamed.doc_id)
+
+
+# ---------------------------------------------------------------------------
+# emit="sessions" partials handler, driven directly across micro-batches
+# (ADVICE r12 #2: the replay oracle only covers a batch-straddling session
+# if the replay fixture happens to split one — pin it deterministically)
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState: carries the state tuple
+    between direct invocations of the handler, never times out."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._value = None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = tuple(value)
+        self.exists = True
+
+    def setTimeoutTimestamp(self, _ms):
+        pass
+
+    def remove(self):
+        self._value = None
+        self.exists = False
+
+
+def _drive_handler(fn, batches):
+    """Run a sessionize handler over successive micro-batches for user 7,
+    returning the concatenated output frames."""
+    import pandas as pd
+
+    state = _FakeGroupState()
+    out = []
+    for epochs in batches:
+        pdf = pd.DataFrame({"ts": pd.to_datetime(epochs, unit="s")})
+        out.extend(fn((7,), iter([pdf]), state))
+    return pd.concat(out, ignore_index=True)
+
+
+def test_sessions_partials_merge_across_microbatch_boundary():
+    """A session straddling two micro-batches emits one partial per batch,
+    and the sum/min/max merge reconstructs exactly what the per-event
+    handler (the equivalence-tested mode) aggregates to."""
+    import pandas as pd
+
+    from chilekids_etl_pipeline_spark.streaming.sessionize import (
+        SESSION_GAP_S,
+        _sessionize_group,
+        _sessionize_partials_group,
+    )
+
+    # batch 1 ends mid-session; batch 2 continues it within the gap, then
+    # opens a second session one-past the gap boundary
+    b1 = [1_000, 1_100]
+    b2 = [1_100 + SESSION_GAP_S, 1_100 + SESSION_GAP_S + 10,
+          1_100 + 2 * SESSION_GAP_S + 11]
+    partials = _drive_handler(_sessionize_partials_group, [b1, b2])
+
+    # session 1 must appear once per batch (the straddle), session 2 once
+    assert sorted(partials["session_seq"].tolist()) == [1, 1, 2]
+
+    merged = (
+        partials.groupby(["user_id", "session_seq"], as_index=False)
+        .agg(
+            n_events=("n_events", "sum"),
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+        )
+        .sort_values("session_seq", ignore_index=True)
+    )
+
+    events = _drive_handler(_sessionize_group, [b1, b2])
+    expected = (
+        events.groupby(["user_id", "session_seq"], as_index=False)
+        .agg(
+            n_events=("ts", "count"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        .sort_values("session_seq", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged.astype({"n_events": "int64"}),
+        expected.astype({"n_events": "int64"}),
+    )
+    # and the straddled session's merged extent spans both batches
+    assert merged.loc[0, "n_events"] == 4
+    assert merged.loc[1, "n_events"] == 1
